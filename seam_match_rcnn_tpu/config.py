@@ -1,0 +1,176 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters hyperparameters across a ``params`` dict
+(/root/reference/models/matchrcnn.py:14-29), argparse defaults in every CLI
+(/root/reference/train_matchrcnn.py:110-133 etc.) and hardcoded constants
+(inferstep, eval chunk sizes, aggregator min-frames).  Here a single set of
+dataclasses is the source of truth, consumed by every entry point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    # One size per FPN level with 3 aspect ratios, matching the reference
+    # AnchorGenerator((32, 64, 128, 256, 512), (0.5, 1.0, 2.0))
+    # (/root/reference/models/matchrcnn.py:15).
+    sizes: Sequence[float] = (32.0, 64.0, 128.0, 256.0, 512.0)
+    aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+
+    @property
+    def num_anchors_per_location(self) -> int:
+        return len(self.aspect_ratios)
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    # Reference overrides at /root/reference/models/matchrcnn.py:16-19.
+    pre_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 1000
+    post_nms_top_n_train: int = 8000
+    post_nms_top_n_test: int = 4000
+    nms_thresh: float = 0.7
+    score_thresh: float = 0.0
+    min_size: float = 1e-3
+    fg_iou_thresh: float = 0.7
+    bg_iou_thresh: float = 0.3
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+
+    def pre_nms_top_n(self, training: bool) -> int:
+        return self.pre_nms_top_n_train if training else self.pre_nms_top_n_test
+
+    def post_nms_top_n(self, training: bool) -> int:
+        return self.post_nms_top_n_train if training else self.post_nms_top_n_test
+
+
+@dataclasses.dataclass(frozen=True)
+class RoIHeadsConfig:
+    # torchvision MaskRCNN defaults, inherited unchanged by the reference's
+    # NewRoIHeads (/root/reference/models/matchrcnn.py:58-64).
+    fg_iou_thresh: float = 0.5
+    bg_iou_thresh: float = 0.5
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    # RoIAlign geometry (/root/reference/models/matchrcnn.py:21-28).
+    box_roi_output: int = 7
+    mask_roi_output: int = 14
+    sampling_ratio: int = 2
+    # FPN level range used by the RoI pools (featmaps '0'-'3' == P2..P5).
+    canonical_scale: float = 224.0
+    canonical_level: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchHeadConfig:
+    d_model: int = 256
+    trunk_channels: int = 1024
+    # Aggregator needs >= n_frames weak candidates per product
+    # (/root/reference/models/match_head.py:304).
+    n_frames: int = 3
+    match_threshold: float = -10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformConfig:
+    # GeneralizedRCNNTransform semantics (torchvision): resize so
+    # min side -> 800 unless the max side would exceed 1333; ImageNet
+    # normalization; pad to a static canvas (stride-32 aligned).
+    min_size: int = 800
+    max_size: int = 1333
+    image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    size_divisible: int = 32
+
+    @property
+    def landscape_canvas(self) -> Tuple[int, int]:
+        # (H, W) covering every landscape resize: H <= 800, W <= 1333 -> 1344.
+        return (800, 1344)
+
+    @property
+    def portrait_canvas(self) -> Tuple[int, int]:
+        return (1344, 800)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # 13 garment categories + background (/root/reference/train_matchrcnn.py:62).
+    num_classes: int = 14
+    anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
+    rpn: RPNConfig = dataclasses.field(default_factory=RPNConfig)
+    roi_heads: RoIHeadsConfig = dataclasses.field(default_factory=RoIHeadsConfig)
+    match: MatchHeadConfig = dataclasses.field(default_factory=MatchHeadConfig)
+    transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
+    # Compute dtype for conv/matmul heavy paths; params stay float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # Phase-1 (/root/reference/train_matchrcnn.py:69-97).
+    lr: float = 0.02
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    milestones: Sequence[int] = (6, 9)
+    gamma: float = 0.1
+    epochs: int = 12
+    warmup_iters: int = 1000
+    warmup_factor: float = 1.0 / 1000
+    batch_size: int = 16
+    save_epochs: int = 2
+    print_freq: int = 100
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SEAMTrainConfig:
+    # Phase-2 (/root/reference/train_movingfashion.py:97-101,158-189).
+    lr: float = 0.04
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    milestones: Sequence[int] = (15, 25)
+    gamma: float = 0.1
+    epochs: int = 31
+    warmup_iters: int = 1000
+    warmup_factor: float = 1.0 / 1000
+    n_shops: int = 16
+    frames_per_shop: int = 10
+    score_thresh: float = 0.7
+    infer_chunk: int = 15
+    eval_freq: int = 4
+    save_epochs: int = 5
+    print_freq: int = 20
+    seed: int = 0
+
+    @property
+    def batch_size(self) -> int:
+        # (1 shop + T frames) per product (/root/reference/train_movingfashion.py:188).
+        return (1 + self.frames_per_shop) * self.n_shops
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    # (/root/reference/evaluate_movingfashion.py:15-16,448-468).
+    score_threshold: float = 0.0
+    k_thresholds: Sequence[int] = (1, 5, 10, 20)
+    frames_per_product: int = 10
+    tracking_threshold: float = 0.3
+    first_n_withvideo: int | None = 100
+    infer_chunk: int = 11
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout.  data = batch sharding (DP); model = sharding of
+    the retrieval gallery / pairwise score matrix at eval scale."""
+
+    data: int = -1  # -1: all devices
+    model: int = 1
