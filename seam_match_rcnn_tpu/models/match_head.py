@@ -1,0 +1,208 @@
+"""Match head and SEAM temporal aggregation, TPU-native.
+
+Re-design of /root/reference/models/match_head.py (``MatchPredictor``,
+``TemporalAggregationNLB``) and /root/reference/models/nlb.py
+(``NONLocalBlock1D``).  Key departures from the torch code, all
+behaviour-preserving:
+
+* The per-sequence Python loops over variable-length frame lists
+  (match_head.py:106-121) become one padded ``[S, T, C]`` batch with a
+  boolean mask — the layout the reference itself builds for its seq tensor
+  (match_head.py:102-111).
+* The concat-based non-local affinity ``relu(Wf·[θ_i; φ_j])`` decomposes as
+  ``relu(a_i + b_j)`` because a 1x1 conv over a concat is a sum of two dots —
+  so the T×T affinity needs no [T, T, 2C'] tensor at all.
+* The pairwise (x−y)² scorer runs via the matmul expansion in
+  ``ops.pairwise``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.pairwise import pairwise_match_logits
+
+
+class MatchTrunk(nn.Module):
+    """Descriptor extractor: 14x14x256 RoI features -> 256-d descriptor.
+
+    Mirrors MatchPredictor's conv_seq/pool/linear
+    (/root/reference/models/match_head.py:50-62): 4 valid 3x3 convs
+    (256,256,256,1024) + relu, 6x6 avg pool + relu, Linear(1024,256),
+    BatchNorm1d (trainable, running stats at eval).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i, feats in enumerate([256, 256, 256, 1024]):
+            x = nn.Conv(feats, (3, 3), padding="VALID", dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))  # 6x6 avg pool -> [N, 1024]
+        x = nn.relu(x)
+        x = nn.Dense(256, dtype=self.dtype, name="linear")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(x)
+        return x
+
+
+class PairScorer(nn.Module):
+    """The reference's ``last = nn.Linear(256, 2)`` applied to pairwise
+    squared differences — evaluated via the matmul expansion so the
+    [N, M, 256] diff tensor never materializes.  Param tree mimics a Dense
+    layer ({kernel: [C, 2], bias: [2]}) for checkpoint-converter symmetry.
+    """
+
+    in_features: int = 256
+
+    @nn.compact
+    def __call__(self, street_desc, shop_desc):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, 2),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (2,))
+        return pairwise_match_logits(street_desc, shop_desc, kernel.T, bias)
+
+
+class MatchPredictor(nn.Module):
+    """Trunk + pairwise scorer (reference MatchPredictor.forward,
+    match_head.py:66-76).
+
+    Returns (descriptors [N, 256], logits [N_street, N_shop, 2]).  Instead of
+    dynamic ``types == 0`` boolean indexing the caller passes *gather
+    indices* for each side so shapes stay static (padded slots scored but
+    masked downstream).
+    """
+
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.trunk = MatchTrunk(dtype=self.dtype)
+        self.last = PairScorer(name="last")
+
+    def __call__(self, x, street_idx, shop_idx, train: bool = False):
+        desc = self.trunk(x, train=train)
+        logits = self.last(desc[street_idx], desc[shop_idx])
+        return desc, logits
+
+    def descriptors(self, x, train: bool = False):
+        return self.trunk(x, train=train)
+
+    def score_pairs(self, street_desc, shop_desc):
+        return self.last(street_desc, shop_desc)
+
+
+class NonLocalBlock1D(nn.Module):
+    """Masked non-local block over the frame axis.
+
+    Reference semantics (/root/reference/models/nlb.py:66-101, instantiated
+    with sub_sample=False, bn_layer=False at match_head.py:87):
+    θ/φ/g are 1x1 convs to C/2; affinity f = relu(concat_project([θ_i;φ_j]))
+    (no bias); f is divided by the *true* sequence length; output conv W is
+    zero-initialized so the block starts as an identity residual.
+    """
+
+    in_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """x: [S, T, C]; mask: [S, T] True for valid frames."""
+        inter = self.in_channels // 2
+        theta = nn.Dense(inter, dtype=self.dtype, name="theta")(x)   # [S,T,C']
+        phi = nn.Dense(inter, dtype=self.dtype, name="phi")(x)
+        g = nn.Dense(inter, dtype=self.dtype, name="g")(x)
+
+        # concat_project (Conv2d(2C',1,bias=False)) splits into two dots.
+        wcat = self.param(
+            "concat_w", nn.initializers.lecun_normal(), (2 * inter, 1)
+        ).astype(self.dtype)
+        a = theta @ wcat[:inter]     # [S, T, 1]
+        c = phi @ wcat[inter:]       # [S, T, 1]
+        f = nn.relu(a + jnp.swapaxes(c, 1, 2))          # [S, T, T]
+        f = jnp.where(mask[:, None, :], f, 0.0)
+        n = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(f.dtype)  # true length
+        f = f / n[:, None, None]
+
+        y = f @ g                                        # [S, T, C']
+        wz = nn.Dense(
+            self.in_channels, dtype=self.dtype, name="w_z",
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(y)
+        z = wz + x
+        # Reference skips the NLB for single-frame sequences
+        # (match_head.py:115-117).
+        multi = (jnp.sum(mask, axis=1) > 1)[:, None, None]
+        return jnp.where(multi & mask[..., None], z, x)
+
+
+class TemporalAggregator(nn.Module):
+    """SEAM temporal aggregation (reference TemporalAggregationNLB,
+    match_head.py:79-169): its own MatchTrunk (warm-started from the match
+    predictor), a 1-D non-local block across the frames of each track, and a
+    learned softmax attention pooling into one 256-d video descriptor.
+    """
+
+    d_model: int = 256
+    n_frames: int = 3
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.trunk = MatchTrunk(dtype=self.dtype)
+        self.nlb = NonLocalBlock1D(self.d_model, dtype=self.dtype)
+        self.attention_scorer = nn.Dense(1, dtype=self.dtype, name="attention_scorer")
+        self.last = PairScorer(name="last")
+
+    def descriptors(self, x, train: bool = False):
+        """Per-frame descriptors from the aggregator's own trunk — what the
+        reference returns as x3_1_seq / x3_2 and the eval harness consumes
+        (/root/reference/evaluate_movingfashion.py:42-47,73-78)."""
+        return self.trunk(x, train=train)
+
+    def aggregate(self, seqs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """NLB + attention pooling over padded sequences.
+
+        seqs: [S, T, C] per-frame descriptors; mask: [S, T] valid frames.
+        Returns [S, C] aggregated video descriptors.
+        """
+        z = self.nlb(seqs, mask)
+        att = self.attention_scorer(z)[..., 0]           # [S, T]
+        att = jnp.where(mask, att, -1e9)
+        att = nn.softmax(att, axis=1)
+        att = jnp.where(mask, att, 0.0)
+        return jnp.sum(att[..., None] * z, axis=1)
+
+    def score_pairs(self, street_desc, shop_desc):
+        return self.last(street_desc, shop_desc)
+
+    def __call__(
+        self,
+        roi_features: jnp.ndarray,
+        seq_gather: jnp.ndarray,
+        seq_mask: jnp.ndarray,
+        shop_idx: jnp.ndarray,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Full forward (reference forward, match_head.py:90-169).
+
+        roi_features: [K, 14, 14, 256] RoI features (streets + shops mixed).
+        seq_gather:   [S, T] int — indices into K grouping street frames per
+                      track (padded entries may repeat; masked by seq_mask).
+        seq_mask:     [S, T] bool.
+        shop_idx:     [M] int — indices of shop rows.
+
+        Returns (frame_desc [K,256], aggregated [S,256], logits [S,M,2]).
+        """
+        desc = self.trunk(roi_features, train=train)
+        seqs = desc[seq_gather] * seq_mask[..., None].astype(desc.dtype)
+        aggregated = self.aggregate(seqs, seq_mask)
+        logits = self.score_pairs(aggregated, desc[shop_idx])
+        return desc, aggregated, logits
