@@ -195,6 +195,22 @@ class MatchRCNN(nn.Module):
         return out
 
 
+    def init_all(self, images, image_sizes):
+        """Initialization-only forward touching every submodule (flax creates
+        params lazily, and ``inference`` alone never calls the pair scorers
+        or the aggregator)."""
+        out = self.inference(images, image_sizes)
+        d = out["match_features"].reshape(-1, 256)[:1]
+        out["_match_logits"] = self.match_predictor.score_pairs(d, d)
+        if self.video:
+            roi = out["roi_features"].reshape(-1, 14, 14, 256)[:1]
+            gather = jnp.zeros((1, 2), jnp.int32)
+            mask = jnp.ones((1, 2), bool)
+            shop = jnp.zeros((1,), jnp.int32)
+            self.temporal_aggregator(roi, gather, mask, shop)
+        return out
+
+
 def make_model(cfg: ModelConfig, video: bool = False) -> MatchRCNN:
     return MatchRCNN(cfg=cfg, video=video)
 
@@ -209,5 +225,5 @@ def init_model(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     images = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
     sizes = jnp.asarray([[canvas[0], canvas[1]]], jnp.int32)
-    variables = model.init(rng, images, sizes, method=MatchRCNN.inference)
+    variables = model.init(rng, images, sizes, method=MatchRCNN.init_all)
     return model, variables
