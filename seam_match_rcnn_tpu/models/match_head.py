@@ -21,9 +21,52 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.pairwise import pairwise_match_logits
+
+
+class MaskedBatchNorm1d(nn.Module):
+    """BatchNorm over [N, C] rows with an optional row-validity mask.
+
+    torch ``nn.BatchNorm1d`` semantics: biased variance for normalization,
+    unbiased for the running update, momentum 0.1 (torch convention).  Padded
+    rows (mask False) are excluded from the statistics — the reference
+    normalizes over exactly the real rows because its batches are dynamic.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, valid: Optional[jnp.ndarray] = None):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            if valid is None:
+                n = jnp.asarray(x.shape[0], jnp.float32)
+                mean = jnp.mean(x, axis=0)
+                var = jnp.mean((x - mean) ** 2, axis=0)
+            else:
+                w = valid.astype(jnp.float32)[:, None]
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(x * w, axis=0) / n
+                var = jnp.sum(((x - mean) ** 2) * w, axis=0) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return ((x - mean) * inv) * scale + bias
 
 
 class MatchTrunk(nn.Module):
@@ -38,17 +81,19 @@ class MatchTrunk(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False,
+        valid: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         for i, feats in enumerate([256, 256, 256, 1024]):
             x = nn.Conv(feats, (3, 3), padding="VALID", dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))  # 6x6 avg pool -> [N, 1024]
         x = nn.relu(x)
         x = nn.Dense(256, dtype=self.dtype, name="linear")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn",
-        )(x)
+        x = MaskedBatchNorm1d(dtype=self.dtype, name="bn")(
+            x.astype(jnp.float32), train=train, valid=valid
+        )
         return x
 
 
@@ -88,13 +133,13 @@ class MatchPredictor(nn.Module):
         self.trunk = MatchTrunk(dtype=self.dtype)
         self.last = PairScorer(name="last")
 
-    def __call__(self, x, street_idx, shop_idx, train: bool = False):
-        desc = self.trunk(x, train=train)
+    def __call__(self, x, street_idx, shop_idx, train: bool = False, valid=None):
+        desc = self.trunk(x, train=train, valid=valid)
         logits = self.last(desc[street_idx], desc[shop_idx])
         return desc, logits
 
-    def descriptors(self, x, train: bool = False):
-        return self.trunk(x, train=train)
+    def descriptors(self, x, train: bool = False, valid=None):
+        return self.trunk(x, train=train, valid=valid)
 
     def score_pairs(self, street_desc, shop_desc):
         return self.last(street_desc, shop_desc)
@@ -161,11 +206,11 @@ class TemporalAggregator(nn.Module):
         self.attention_scorer = nn.Dense(1, dtype=self.dtype, name="attention_scorer")
         self.last = PairScorer(name="last")
 
-    def descriptors(self, x, train: bool = False):
+    def descriptors(self, x, train: bool = False, valid=None):
         """Per-frame descriptors from the aggregator's own trunk — what the
         reference returns as x3_1_seq / x3_2 and the eval harness consumes
         (/root/reference/evaluate_movingfashion.py:42-47,73-78)."""
-        return self.trunk(x, train=train)
+        return self.trunk(x, train=train, valid=valid)
 
     def aggregate(self, seqs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """NLB + attention pooling over padded sequences.
@@ -190,6 +235,7 @@ class TemporalAggregator(nn.Module):
         seq_mask: jnp.ndarray,
         shop_idx: jnp.ndarray,
         train: bool = False,
+        valid: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Full forward (reference forward, match_head.py:90-169).
 
@@ -201,7 +247,7 @@ class TemporalAggregator(nn.Module):
 
         Returns (frame_desc [K,256], aggregated [S,256], logits [S,M,2]).
         """
-        desc = self.trunk(roi_features, train=train)
+        desc = self.trunk(roi_features, train=train, valid=valid)
         seqs = desc[seq_gather] * seq_mask[..., None].astype(desc.dtype)
         aggregated = self.aggregate(seqs, seq_mask)
         logits = self.score_pairs(aggregated, desc[shop_idx])
