@@ -1,0 +1,52 @@
+"""Gallery scoring for retrieval eval, on device.
+
+The reference scores street queries against the shop gallery with numpy fp16
+einsums that materialize a [Q, G, 256] squared-difference tensor
+(/root/reference/evaluate_movingfashion.py:94-124).  Here the whole [Q, G]
+match-probability matrix is computed once on the TPU via the matmul
+expansion (ops.pairwise) in f32 — algebraically identical, no [Q, G, C]
+intermediate, MXU-bound.  For very large galleries the shop axis can be
+sharded over the mesh's 'model' axis (scores are embarrassingly parallel
+along G).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pairwise import pairwise_match_scores
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _score_chunk(street, shop, w, b):
+    return pairwise_match_scores(street, shop, w, b)
+
+
+def score_matrix(
+    street: np.ndarray, shop: np.ndarray, w: np.ndarray, b: np.ndarray,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """softmax((street−shop)²·Wᵀ+b)[..,1] for all pairs -> [Q, G] float32.
+
+    Chunked over queries to bound device memory for huge query sets.
+    """
+    street = np.asarray(street, np.float32)
+    shop = jnp.asarray(shop, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    outs = []
+    for i in range(0, len(street), chunk):
+        outs.append(np.asarray(_score_chunk(jnp.asarray(street[i : i + chunk]), shop, w, b)))
+    return np.concatenate(outs, axis=0) if outs else np.zeros((0, shop.shape[0]), np.float32)
+
+
+def rank_of(scores: np.ndarray, target: int) -> np.ndarray:
+    """For each query row, the rank (0-based) of ``target`` when gallery
+    entries are sorted by descending score — the quantity the reference
+    derives via argsort + nonzero (evaluate_movingfashion.py:99,228)."""
+    order = np.argsort(scores, axis=-1)[:, ::-1]
+    return np.nonzero(order == target)[1]

@@ -1,0 +1,89 @@
+"""Batched inference runner: host-side bucketing/padding around the jitted
+detector forward.
+
+Replaces the reference's chunked no-grad loops (`inferstep`/`step` slicing at
+/root/reference/stuffs/engine.py:113-115, evaluate_movingfashion.py:30-32):
+images are resized into the two static canvases, padded to a fixed chunk
+size (so exactly two programs compile per export configuration), run through
+``MatchRCNN.inference``, and returned per-image with boxes mapped back to
+original coordinates (torchvision GeneralizedRCNNTransform.postprocess).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.matchrcnn import MatchRCNN
+from ..models.transform import batch_images, resize_boxes_back
+
+
+class InferenceRunner:
+    def __init__(
+        self,
+        model: MatchRCNN,
+        variables,
+        chunk: int = 8,
+        with_masks: bool = False,
+        with_match: bool = True,
+        with_roi_features: bool = False,
+        with_aggr_features: bool = True,
+        donate: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.chunk = chunk
+        self.with_masks = with_masks
+        self.with_roi = with_roi_features
+        self.with_aggr = with_aggr_features
+        self.with_match = with_match
+
+        def fwd(variables, images, sizes):
+            out = model.apply(
+                variables, images, sizes, method=MatchRCNN.inference,
+                with_masks=with_masks, with_match=with_match,
+                with_roi_features=True,
+            )
+            if with_aggr_features:
+                b, d = out["boxes"].shape[:2]
+                roi = out["roi_features"].reshape(b * d, 14, 14, -1)
+                aggr = model.apply(
+                    variables, roi, method=MatchRCNN.aggregator_descriptors
+                )
+                out["aggr_features"] = aggr.reshape(b, d, -1)
+            if not with_roi_features:
+                del out["roi_features"]
+            return out
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
+        """images: list of HWC float arrays in [0, 1].  Returns one dict per
+        image (original order) with boxes in ORIGINAL image coordinates."""
+        cfg = self.model.cfg.transform
+        results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
+        for bucket in batch_images(images, cfg):
+            n = bucket.pixels.shape[0]
+            for s in range(0, n, self.chunk):
+                e = min(s + self.chunk, n)
+                pix = bucket.pixels[s:e]
+                sz = bucket.sizes[s:e]
+                pad = self.chunk - (e - s)
+                if pad:
+                    pix = np.concatenate([pix, np.zeros((pad,) + pix.shape[1:], pix.dtype)])
+                    sz = np.concatenate([sz, np.tile(sz[-1:], (pad, 1))])
+                out = self._fwd(self.variables, jnp.asarray(pix), jnp.asarray(sz))
+                out = jax.tree.map(np.asarray, out)
+                for j in range(e - s):
+                    gidx = bucket.indices[s + j]
+                    r = {k: v[j] for k, v in out.items()}
+                    r["boxes"] = resize_boxes_back(
+                        r["boxes"], tuple(bucket.sizes[s + j]),
+                        tuple(bucket.orig_sizes[s + j]),
+                    )
+                    results[gidx] = r
+        return results  # type: ignore[return-value]

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.boxes import box_iou, encode_boxes
 from ..ops.roi_align import batched_multilevel_roi_align
 from .anchors import grid_anchors
 from .detection import Detections, postprocess_detections, prepend_gt
@@ -30,6 +31,43 @@ from .match_head import MatchPredictor, TemporalAggregator
 from .resnet import BackboneWithFPN
 from .rpn import select_proposals
 from .transform import normalize
+
+
+def _select_match_slots(
+    pos_props: jnp.ndarray,
+    pos_valid: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference ``filter_proposals`` (match_head.py:441-463): keep, per GT,
+    the top (k // n_gt) positive proposals ranked by IoU against the GTs
+    (duplicates across GTs allowed, as in the reference's view(-1)).
+
+    Note: the reference feeds xyxy boxes to pycocotools' xywh-convention
+    ``maskUtils.iou`` (match_head.py:451) so its ranking quantity is skewed;
+    we rank by correct IoU (documented divergence — affects only which
+    positives feed the match head during training).
+
+    Returns (slot_idx [k] into pos_props, slot_valid [k]).
+    """
+    p = pos_props.shape[0]
+    n_gt = jnp.maximum(jnp.sum(gt_valid), 1)
+    per_gt = k // n_gt  # 0 when n_gt > k, like the reference's 8 // n_valid
+    iou = box_iou(pos_props, gt_boxes)  # [P, G]
+    iou = jnp.where(pos_valid[:, None] & gt_valid[None, :], iou, -1.0)
+    # rank of each row within each column (0 = best)
+    order = jnp.argsort(-iou, axis=0)
+    ranks = jnp.argsort(order, axis=0)
+    sel = (ranks < per_gt) & (iou > -1.0)  # [P, G]
+    # compact up to k selected (p, g) cells; prefer column-major order like
+    # the reference's per-gt loop.
+    flat = sel.T.reshape(-1)  # [G * P], column-major
+    keys = jnp.where(flat, 1e9 - jnp.arange(flat.shape[0], dtype=jnp.float32), -jnp.arange(flat.shape[0], dtype=jnp.float32))
+    _, top = jax.lax.top_k(keys, k)
+    slot_valid = flat[top]
+    slot_idx = (top % p).astype(jnp.int32)
+    return jnp.where(slot_valid, slot_idx, 0), slot_valid
 
 
 class MatchRCNN(nn.Module):
@@ -194,6 +232,143 @@ class MatchRCNN(nn.Module):
             out["match_features"] = desc.reshape(b, d, -1)
         return out
 
+
+    # ---- phase-1 training forward --------------------------------------
+
+    def training_losses(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        gt: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        num_match_slots: int = 8,
+        num_mask_slots: int = 128,
+    ) -> Dict[str, jnp.ndarray]:
+        """Supervised Match R-CNN losses (reference phase-1 step:
+        /root/reference/models/matchrcnn.py:333-472 in training mode).
+
+        gt: boxes [B,G,4], labels [B,G], valid [B,G], pair_ids [B,G],
+        styles [B,G], source [B] (0 street / 1 shop, image-level — the
+        reference reads targets['sources'][0] at matchrcnn.py:435),
+        mask_crops [B,G,S,S] (per-gt fixed-size mask crops).
+        """
+        from ..losses import detection as det_losses
+        from ..losses.match import match_loss_supervised
+        from ..ops.targets import assign_and_sample
+
+        cfg = self.cfg.roi_heads
+        b = images.shape[0]
+        feats = self.features(images)
+        (obj, regs), (props, _, pvalid) = self.proposals(
+            feats, image_sizes, training=True
+        )
+        props = jax.lax.stop_gradient(props)
+
+        # --- RPN loss over all anchors ---------------------------------
+        canvas = (feats[0].shape[1] * 4, feats[0].shape[2] * 4)
+        anchors_np = grid_anchors(
+            canvas,
+            tuple((f.shape[1], f.shape[2]) for f in feats),
+            tuple(self.cfg.anchors.sizes),
+            tuple(self.cfg.anchors.aspect_ratios),
+        )
+        anchors_all = jnp.concatenate([jnp.asarray(a) for a in anchors_np], 0)
+        obj_flat = jnp.concatenate(
+            [o.astype(jnp.float32).reshape(b, -1) for o in obj], axis=1
+        )
+        reg_flat = jnp.concatenate(
+            [r.astype(jnp.float32).reshape(b, -1, 4) for r in regs], axis=1
+        )
+        rngs = jax.random.split(rng, 3)
+        rpn_rngs = jax.random.split(rngs[0], b)
+        loss_obj, loss_rpn_box = jax.vmap(
+            lambda o, d, g, gv, r: det_losses.rpn_loss(
+                o, d, anchors_all, g, gv, r,
+                self.cfg.rpn.batch_size_per_image,
+                self.cfg.rpn.positive_fraction,
+                self.cfg.rpn.fg_iou_thresh, self.cfg.rpn.bg_iou_thresh,
+            )
+        )(obj_flat, reg_flat, gt["boxes"], gt["valid"], rpn_rngs)
+        loss_obj, loss_rpn_box = jnp.mean(loss_obj), jnp.mean(loss_rpn_box)
+
+        # --- proposal sampling (gt appended, matchrcnn.py:130-136) ------
+        all_props = jnp.concatenate([props, gt["boxes"]], axis=1)
+        all_valid = jnp.concatenate([pvalid, gt["valid"]], axis=1)
+        samp_rngs = jax.random.split(rngs[1], b)
+        matched, labels, sample = jax.vmap(
+            lambda p, pv, g, gl, gv, r: assign_and_sample(
+                p, pv, g, gl, gv, r,
+                cfg.batch_size_per_image, cfg.positive_fraction,
+                cfg.fg_iou_thresh, cfg.bg_iou_thresh,
+            )
+        )(all_props, all_valid, gt["boxes"], gt["labels"], gt["valid"], samp_rngs)
+
+        take = lambda arr, idx: jnp.take_along_axis(arr, idx, axis=1)
+        s_idx = sample.idx                                  # [B, 512]
+        s_props = jnp.take_along_axis(all_props, s_idx[..., None], axis=1)
+        s_labels = take(labels, s_idx)
+        s_matched = take(matched, s_idx)
+        s_valid = sample.valid
+
+        # --- box branch -------------------------------------------------
+        class_logits, box_deltas = self.box_branch(feats, s_props)
+        matched_gt = jnp.take_along_axis(gt["boxes"], s_matched[..., None], axis=1)
+        reg_targets = encode_boxes(matched_gt, s_props, cfg.bbox_reg_weights)
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        loss_cls, loss_box = det_losses.fastrcnn_loss(
+            flat(class_logits), flat(box_deltas), flat(s_labels),
+            flat(reg_targets), flat(s_valid),
+        )
+
+        # --- mask branch (positives only, matchrcnn.py:382-405) ---------
+        m = min(num_mask_slots, s_props.shape[1])
+        m_props = s_props[:, :m]
+        m_valid = sample.is_pos[:, :m]   # sampler packs positives first
+        m_matched = s_matched[:, :m]
+        m_labels = s_labels[:, :m]
+        roi14 = self.mask_roi(feats, m_props)
+        mask_logits = self.mask_branch(roi14.reshape(b * m, 14, 14, -1))
+        mask_t = jax.vmap(
+            lambda crops, gb, p, mi: det_losses.mask_targets_from_crops(
+                crops, gb, p, mi
+            )
+        )(gt["mask_crops"].astype(jnp.float32), gt["boxes"], m_props, m_matched)
+        loss_mask = det_losses.maskrcnn_loss(
+            mask_logits, flat(mask_t), flat(m_labels), flat(m_valid)
+        )
+
+        # --- match branch (top-iou positives, match_head.py:441-463) ----
+        k = num_match_slots
+        slot_idx, slot_valid = jax.vmap(
+            lambda p, pv, g, gv: _select_match_slots(p, pv, g, gv, k)
+        )(m_props, m_valid, gt["boxes"], gt["valid"])
+        mt_props = jnp.take_along_axis(m_props, slot_idx[..., None], axis=1)
+        mt_matched = jnp.take_along_axis(m_matched, slot_idx, axis=1)
+        mt_roi = jnp.take_along_axis(
+            roi14, slot_idx[..., None, None, None], axis=1
+        ).astype(jnp.float32)
+        desc = self.match_predictor.descriptors(
+            mt_roi.reshape(b * k, 14, 14, -1), train=True,
+            valid=flat(slot_valid),
+        )
+        logits = self.match_predictor.score_pairs(desc, desc)
+        pair_ids = flat(jnp.take_along_axis(gt["pair_ids"], mt_matched, axis=1))
+        styles = flat(jnp.take_along_axis(gt["styles"], mt_matched, axis=1))
+        src = jnp.repeat(gt["source"], k)
+        sv = flat(slot_valid)
+        loss_match = match_loss_supervised(
+            logits, pair_ids, styles, pair_ids, styles,
+            sv & (src == 0), sv & (src == 1), require_nonzero_style=True,
+        )
+
+        return {
+            "loss_objectness": loss_obj,
+            "loss_rpn_box_reg": loss_rpn_box,
+            "loss_classifier": loss_cls,
+            "loss_box_reg": loss_box,
+            "loss_mask": loss_mask,
+            "loss_match": loss_match,
+        }
 
     def init_all(self, images, image_sizes):
         """Initialization-only forward touching every submodule (flax creates

@@ -96,6 +96,7 @@ def balanced_sample(
 
 def assign_and_sample(
     proposals: jnp.ndarray,
+    proposal_valid: jnp.ndarray,
     gt_boxes: jnp.ndarray,
     gt_labels: jnp.ndarray,
     gt_valid: jnp.ndarray,
@@ -104,13 +105,14 @@ def assign_and_sample(
     positive_fraction: float,
     fg_iou: float,
     bg_iou: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, SampleResult]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, SampleResult]:
     """RoI-heads training-target assignment for one image, mirroring
     ``select_training_samples`` (/root/reference/models/matchrcnn.py:145-167)
     minus the gt-append (done by the caller so shapes stay static).
 
-    Returns (matched_gt_idx[N], labels[N], matched_vals[N], sample).
-    labels: 0 background, -1 ignore, else class label of matched gt.
+    Returns (matched_gt_idx[N], labels[N], sample).
+    labels: 0 background, -1 ignore, else class label of matched gt; padded
+    (invalid) proposals are forced to -1 so they are never sampled.
     """
     from .boxes import box_iou
 
@@ -120,5 +122,6 @@ def assign_and_sample(
     labels = gt_labels[clamped].astype(jnp.int32)
     labels = jnp.where(matches == BELOW_LOW_THRESHOLD, 0, labels)
     labels = jnp.where(matches == BETWEEN_THRESHOLDS, -1, labels)
+    labels = jnp.where(proposal_valid, labels, -1)
     sample = balanced_sample(labels, rng, batch_size, positive_fraction)
-    return clamped, labels, jnp.max(jnp.where(gt_valid[:, None], quality, -1.0), 0), sample
+    return clamped, labels, sample

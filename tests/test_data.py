@@ -1,0 +1,144 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from seam_match_rcnn_tpu.data import convert as conv
+from seam_match_rcnn_tpu.data.df2 import DF2PairBatchSampler, DeepFashion2Dataset
+from seam_match_rcnn_tpu.data.movingfashion import MovingFashionDataset, product_batches
+from seam_match_rcnn_tpu.data.multidf2 import (
+    MultiDeepFashion2Dataset,
+    product_batches as mdf2_batches,
+)
+from seam_match_rcnn_tpu.data.synthetic import (
+    make_synthetic_df2,
+    make_synthetic_movingfashion,
+)
+from seam_match_rcnn_tpu.ops import rle
+
+
+@pytest.fixture(scope="module")
+def df2_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("df2")
+    img_dir, ann_dir = make_synthetic_df2(str(root), n_products=3, views_per_side=2)
+    out = str(root / "annots.json")
+    conv.convert(img_dir, ann_dir, out)
+    return img_dir, out
+
+
+@pytest.fixture(scope="module")
+def mf_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mf")
+    path = make_synthetic_movingfashion(str(root), n_products=3, n_frames=12)
+    return str(root), path
+
+
+def test_convert_coco_structure(df2_fixture):
+    _, ann = df2_fixture
+    with open(ann) as f:
+        coco = json.load(f)
+    assert len(coco["categories"]) == 13
+    assert len(coco["images"]) == 12
+    img0 = coco["images"][0]
+    assert "match_desc" in img0 and "source" in img0
+    a0 = coco["annotations"][0]
+    assert {"pair_id", "style", "source", "segmentation"} <= set(a0)
+    assert len(a0["keypoints"]) == 294 * 3
+
+
+def test_df2_dataset_and_match_maps(df2_fixture):
+    img_dir, ann = df2_fixture
+    ds = DeepFashion2Dataset(ann, img_dir)
+    assert len(ds.street_inds) == 6 and len(ds.shop_inds) == 6
+    assert len(ds.accepted_entries) == 12  # every image has a partner
+    img, target, img_id = ds[0]
+    assert img.ndim == 3 and img.dtype == np.float32
+    assert target["boxes"].shape[1] == 4
+    assert target["mask_crops"].shape[1:] == (56, 56)
+    assert target["mask_crops"].max() == 1  # rectangle fills the crop
+
+
+def test_df2_pair_sampler_alternates(df2_fixture):
+    img_dir, ann = df2_fixture
+    ds = DeepFashion2Dataset(ann, img_dir)
+    sampler = DF2PairBatchSampler(ds, batch_size=4, seed=1)
+    batches = list(sampler)
+    assert batches
+    for b in batches:
+        assert len(b) == 4
+        for street_pos in range(0, 4, 2):
+            sid = ds.ids[b[street_pos]]
+            pid = ds.ids[b[street_pos + 1]]
+            assert ds.coco.imgs[sid]["source"] == "user"
+            assert ds.coco.imgs[pid]["source"] == "shop"
+            # partners share a match key
+            assert set(ds.coco.imgs[sid]["match_desc"].items()) & set(
+                ds.coco.imgs[pid]["match_desc"].items()
+            )
+
+
+def test_mf_dataset_video_decode(mf_fixture):
+    root, path = mf_fixture
+    ds = MovingFashionDataset(path, root=root, noise=False)
+    assert len(ds) == 3
+    shop = ds.shop_image(0)
+    assert shop["tag"] == 1 and shop["image"].ndim == 3
+    fr = ds.video_frame(0, 0.5, video_i=0)
+    assert fr["tag"] == 0
+    assert fr["frame_index"] == 6
+    assert (fr["tracklet"] >= 0).all()  # annotated
+    # noise mode halves resolution
+    ds_noise = MovingFashionDataset(path, root=root, noise=True)
+    fr2 = ds_noise.video_frame(0, 0.5, video_i=0)
+    assert fr2["image"].shape[0] == fr["image"].shape[0] // 2
+
+
+def test_mf_product_batches_layout(mf_fixture):
+    root, path = mf_fixture
+    ds = MovingFashionDataset(path, root=root, noise=False)
+    batches = list(product_batches(ds, n_products=1, frames_per_product=3,
+                                   shuffle=False))
+    assert len(batches) == 3
+    b = batches[0]
+    assert len(b) == 4
+    assert b[0]["tag"] == 1 and all(x["tag"] == 0 for x in b[1:])
+    assert len({x["i"] for x in b}) == 1
+    fracs_sorted = [x["frame_index"] for x in b[1:]]
+    assert fracs_sorted == sorted(fracs_sorted)
+
+
+def test_multidf2_products(df2_fixture):
+    img_dir, ann = df2_fixture
+    ds = MultiDeepFashion2Dataset(ann, img_dir, filter_onestreet=True)
+    assert len(ds) == 3  # each product has 2 street views
+    batches = list(mdf2_batches(ds, n_products=1, frames_per_product=2, shuffle=False))
+    b = batches[0]
+    assert b[0]["tag"] == 1 and b[1]["tag"] == 0
+    assert all(x["key"] == b[0]["key"] for x in b)
+
+
+def test_rle_roundtrip_and_iou():
+    rng = np.random.RandomState(0)
+    m = (rng.rand(23, 17) > 0.6).astype(np.uint8)
+    enc = rle.encode(m)
+    np.testing.assert_array_equal(rle.decode(enc), m)
+    assert rle.area(enc) == int(m.sum())
+    x, y, w, h = rle.to_bbox(enc)
+    ys, xs = np.nonzero(m)
+    assert (x, y) == (xs.min(), ys.min())
+    # mask iou sanity
+    full = np.ones((8, 8), np.uint8)
+    half = np.zeros((8, 8), np.uint8)
+    half[:4] = 1
+    iou = rle.mask_iou([rle.encode(full)], [rle.encode(half)])
+    assert iou[0, 0] == pytest.approx(0.5)
+
+
+def test_polygons_to_crop_alignment():
+    # triangle occupying the left half of its box
+    box = [10.0, 10.0, 50.0, 50.0]
+    poly = [[10, 10, 30, 10, 30, 50, 10, 50]]
+    crop = rle.polygons_to_crop(poly, box, 28)
+    assert crop[:, :12].mean() > 0.9
+    assert crop[:, 16:].mean() < 0.1

@@ -1,0 +1,136 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from seam_match_rcnn_tpu.models.match_head import MatchPredictor, TemporalAggregator
+from seam_match_rcnn_tpu.train.optim import sgd
+from seam_match_rcnn_tpu.train.seam import (
+    HeadState,
+    create_head_state,
+    make_mdf2_head_step,
+    make_seam_head_step,
+    merge_head_state,
+    select_rows_host,
+)
+
+
+def init_head_variables(seed=0):
+    rng = np.random.RandomState(seed)
+    roi = jnp.asarray(rng.randn(2, 14, 14, 256).astype(np.float32))
+    mp = MatchPredictor()
+    ta = TemporalAggregator()
+    mp_v = mp.init(jax.random.PRNGKey(0), roi, jnp.asarray([0]), jnp.asarray([1]))
+    ta_v = ta.init(
+        jax.random.PRNGKey(1), roi, jnp.zeros((1, 2), jnp.int32),
+        jnp.ones((1, 2), bool), jnp.asarray([1]),
+    )
+    return {
+        "params": {"match_predictor": mp_v["params"], "temporal_aggregator": ta_v["params"]},
+        "batch_stats": {"match_predictor": mp_v["batch_stats"],
+                        "temporal_aggregator": ta_v["batch_stats"]},
+    }
+
+
+def make_outputs(n_img, d=4, seed=0, score=0.9):
+    rng = np.random.RandomState(seed)
+    outs = []
+    for _ in range(n_img):
+        outs.append({
+            "scores": np.full((d,), score, np.float32),
+            "boxes": np.abs(rng.rand(d, 4).astype(np.float32)) * 50 + np.asarray([0, 0, 60, 60], np.float32),
+            "roi_features": rng.randn(d, 14, 14, 256).astype(np.float32),
+            "valid": np.ones((d,), bool),
+        })
+    return outs
+
+
+def test_select_rows_host_shop_largest_area():
+    # 2 products x (1 shop + 2 frames)
+    outs = make_outputs(6, d=3, seed=1)
+    tags = [1, 0, 0, 1, 0, 0]
+    prods = [0, 0, 0, 1, 1, 1]
+    sel = select_rows_host(outs, tags, prods, 0.5, 2, 2, max_rows=32)
+    assert sel is not None
+    # each shop contributes exactly 1 row
+    assert (sel.types[sel.valid] == 1).sum() == 2
+    assert (sel.shop_row >= 0).all()
+    # street rows: 2 products x 2 frames x 3 boxes
+    assert (sel.types[sel.valid] == 0).sum() == 12
+
+
+def test_select_rows_host_excludes_shopless_product():
+    outs = make_outputs(6, d=3, seed=2)
+    outs[0]["scores"][:] = 0.0  # product 0's shop has no box
+    tags = [1, 0, 0, 1, 0, 0]
+    prods = [0, 0, 0, 1, 1, 1]
+    sel = select_rows_host(outs, tags, prods, 0.5, 2, 2, max_rows=32)
+    assert sel is not None
+    assert sel.shop_row[0] == -1
+    assert (sel.prod[sel.valid] != 0).all()
+
+
+def test_select_rows_host_returns_none_when_empty():
+    outs = make_outputs(2, d=1, seed=3, score=0.0)
+    assert select_rows_host(outs, [1, 0], [0, 0], 0.5, 1, 1, 8) is None
+
+
+def test_seam_head_step_trains():
+    variables = init_head_variables()
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    state = create_head_state(variables, tx)
+    step = make_seam_head_step(tx, frames_per_product=3, n_frames=2)
+
+    rng = np.random.RandomState(4)
+    k, p, t = 16, 2, 3
+    prod = np.asarray([0] * 8 + [1] * 8, np.int32)
+    types = np.asarray(([1] + [0] * 7) + ([1] + [0] * 7), np.int32)
+    img_slot = np.zeros(k, np.int32)
+    for r in range(k):
+        if types[r] == 0:
+            img_slot[r] = prod[r] * t + (r % t)
+    batch = {
+        "roi_features": jnp.asarray(rng.randn(k, 14, 14, 256).astype(np.float32)),
+        "valid": jnp.ones(k, bool),
+        "types": jnp.asarray(types),
+        "prod": jnp.asarray(prod),
+        "img_slot": jnp.asarray(img_slot),
+        "shop_row": jnp.asarray([0, 8], jnp.int32),
+        "aggr_weight": jnp.asarray(1.0),
+    }
+    before = state.params["match_predictor"]["trunk"]["linear"]["kernel"]
+    for i in range(2):
+        state, losses = step(state, batch)
+        assert np.isfinite(float(losses["loss"]))
+        assert np.isfinite(float(losses["match_loss"]))
+        assert np.isfinite(float(losses["aggregation_loss"]))
+    after = state.params["match_predictor"]["trunk"]["linear"]["kernel"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    merged = merge_head_state(variables, state)
+    assert "match_predictor" in merged["params"]
+
+
+def test_mdf2_head_step_only_aggregator_trains():
+    variables = init_head_variables(seed=5)
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    state = create_head_state(variables, tx)
+    step = make_mdf2_head_step(tx)
+
+    rng = np.random.RandomState(6)
+    k, p, t = 12, 2, 4
+    batch = {
+        "roi_features": jnp.asarray(rng.randn(k, 14, 14, 256).astype(np.float32)),
+        "shop_row": jnp.asarray([0, 6], jnp.int32),
+        "seq_gather": jnp.asarray([[1, 2, 3, 4], [7, 8, 9, 0]], jnp.int32),
+        "seq_mask": jnp.asarray([[True, True, True, True], [True, True, True, False]]),
+    }
+    mp_before = jax.tree.leaves(state.params["match_predictor"])[0]
+    ta_before = state.params["temporal_aggregator"]["trunk"]["linear"]["kernel"]
+    state, losses = step(state, batch)
+    assert np.isfinite(float(losses["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(mp_before), np.asarray(jax.tree.leaves(state.params["match_predictor"])[0])
+    )
+    assert not np.allclose(
+        np.asarray(ta_before),
+        np.asarray(state.params["temporal_aggregator"]["trunk"]["linear"]["kernel"]),
+    )
