@@ -1,0 +1,97 @@
+"""Benchmark: MovingFashion eval-path serving throughput, frames/sec/chip.
+
+The reference never measures throughput (SURVEY.md §6); this harness times
+the SEAM VideoMatchRCNN serving forward — backbone + RPN + proposal NMS +
+box branch + class NMS + mask/match RoI branches + match & aggregator
+descriptors — i.e. the per-frame work of ``evaluate_movingfashion``
+(PHASE A), at the reference's eval geometry (min side 800, landscape canvas
+800×1344, batch = eval chunk 11).
+
+Timing methodology: the whole measurement loop runs INSIDE one jit call —
+``lax.scan`` over ITERS distinct image batches, reduced to one scalar that
+is fetched to host.  This is required because device dispatch on this setup
+is fully asynchronous (``block_until_ready`` returns before execution
+through the axon tunnel); fetching the scalar is the only reliable fence,
+and scanning distinct inputs prevents XLA from hoisting loop-invariant work.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.json
+``published: {}``), so the denominator is the documented assumption of
+15 frames/sec for torchvision Mask R-CNN R50-FPN eval-time inference on the
+reference's CUDA-10-era GPUs (README.md:15-22) — the figure the ≥5×
+north-star target is measured against.  Replace with a measured reference
+number when one exists.
+"""
+
+import json
+import time
+
+ASSUMED_PYTORCH_GPU_FPS = 15.0
+BATCH = 11  # reference eval chunk (evaluate_movingfashion.py:30)
+CANVAS = (800, 1344)
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from seam_match_rcnn_tpu.config import ModelConfig
+    from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN, init_model
+
+    cfg = ModelConfig()
+    model, variables = init_model(cfg, video=True, canvas=(256, 320))
+
+    def fwd(variables, images, sizes):
+        out = model.apply(
+            variables, images, sizes, method=MatchRCNN.inference,
+            with_masks=False, with_match=True, with_roi_features=True,
+        )
+        b, d = out["boxes"].shape[:2]
+        roi = out["roi_features"].reshape(b * d, 14, 14, -1)
+        aggr = model.apply(variables, roi, method=MatchRCNN.aggregator_descriptors)
+        return {
+            "boxes": out["boxes"], "scores": out["scores"],
+            "match_features": out["match_features"],
+            "aggr_features": aggr.reshape(b, d, -1),
+        }
+
+    def bench_loop(variables, all_images, sizes):
+        def body(acc, imgs):
+            out = fwd(variables, imgs, sizes)
+            s = (jnp.sum(out["scores"]) + jnp.sum(out["match_features"][:, :, 0])
+                 + jnp.sum(out["boxes"][:, :, 0]))
+            return acc + s, ()
+        total, _ = jax.lax.scan(body, jnp.float32(0), all_images)
+        return total
+
+    jbench = jax.jit(bench_loop)
+    rng = np.random.RandomState(0)
+    all_images = jnp.asarray(
+        rng.rand(ITERS, BATCH, CANVAS[0], CANVAS[1], 3).astype(np.float32)
+    )
+    sizes = jnp.asarray([[800, 1333]] * BATCH, jnp.int32)
+
+    float(jbench(variables, all_images, sizes))  # compile + warm run
+    t0 = time.perf_counter()
+    total = float(jbench(variables, all_images, sizes))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total)
+
+    fps = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "movingfashion_eval_inference_throughput",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / ASSUMED_PYTORCH_GPU_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Checkpoint save/restore (Orbax).
+
+Replaces the reference's ``torch.save({epoch, model_state_dict,
+optimizer_state_dict, scheduler_state_dict})`` every N epochs
+(/root/reference/train_matchrcnn.py:90-105, train_movingfashion.py:124-151).
+Checkpoints carry the full variable tree, optimizer state and epoch; resume
+restores all three (``--start_ckpt`` semantics,
+train_movingfashion.py:79-83).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]):
+    """payload: e.g. {'variables': ..., 'opt_state': ..., 'epoch': int}."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, payload), force=True)
+
+
+def restore_checkpoint(path: str) -> Dict[str, Any]:
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+class CheckpointManager:
+    """Rank-0-style periodic saver (reference saves every ``save_epochs``
+    plus a final one)."""
+
+    def __init__(self, directory: str, save_epochs: int = 2):
+        self.directory = directory
+        self.save_epochs = save_epochs
+        os.makedirs(directory, exist_ok=True)
+
+    def maybe_save(self, epoch: int, payload: Dict[str, Any], final: bool = False):
+        if final or (epoch % self.save_epochs == 0):
+            name = f"epoch{epoch:03d}" if not final else "final"
+            save_checkpoint(os.path.join(self.directory, name), payload)
+
+    def latest(self) -> Optional[str]:
+        entries = sorted(
+            e for e in os.listdir(self.directory)
+            if os.path.isdir(os.path.join(self.directory, e))
+        )
+        return os.path.join(self.directory, entries[-1]) if entries else None

@@ -1,0 +1,55 @@
+"""Eval CLI: MovingFashion video-to-shop retrieval.
+
+Mirrors /root/reference/evaluate_movingfashion.py __main__ (:448-509).  The
+reference's ``args.batch_size_test`` AttributeError (:495) is a latent bug,
+not behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import EvalConfig, ModelConfig
+from ..ckpt.io import restore_checkpoint
+from ..ckpt.torch_convert import load_torch_checkpoint
+from ..data.movingfashion import MovingFashionDataset
+from ..eval.movingfashion import evaluate
+from ..models.matchrcnn import init_model
+from .train_movingfashion import _eval_products
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("TPU SEAM Match R-CNN MovingFashion eval")
+    p.add_argument("--root", type=str, default="data/MovingFashion")
+    p.add_argument("--test_annots", type=str, default="data/MovingFashion/test.json")
+    p.add_argument("--frames_per_shop_test", type=int, default=10)
+    p.add_argument("--first_n_withvideo", type=int, default=100)
+    p.add_argument("--score_threshold", type=float, default=0.0)
+    p.add_argument("--noise", type=bool, default=True)
+    p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/MovingFashion/MF_epoch031")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = ModelConfig()
+    model, variables = init_model(cfg, video=True)
+    if args.ckpt_path and os.path.exists(args.ckpt_path):
+        if os.path.isdir(args.ckpt_path):
+            variables = restore_checkpoint(args.ckpt_path)["variables"]
+        else:
+            variables = load_torch_checkpoint(args.ckpt_path, video=True)
+
+    ds = MovingFashionDataset(args.test_annots, root=args.root, noise=args.noise)
+    return evaluate(
+        model, variables,
+        _eval_products(ds, args.frames_per_shop_test, args.first_n_withvideo),
+        EvalConfig(score_threshold=args.score_threshold,
+                   frames_per_product=args.frames_per_shop_test,
+                   first_n_withvideo=args.first_n_withvideo),
+    )
+
+
+if __name__ == "__main__":
+    main()

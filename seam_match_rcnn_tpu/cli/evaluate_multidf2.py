@@ -1,0 +1,52 @@
+"""Eval CLI: MultiDeepFashion2 retrieval
+(mirrors /root/reference/evaluate_multiDF2.py __main__ :330-389)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import EvalConfig, ModelConfig
+from ..ckpt.io import restore_checkpoint
+from ..ckpt.torch_convert import load_torch_checkpoint
+from ..data.multidf2 import MultiDeepFashion2Dataset
+from ..eval.multidf2 import evaluate
+from ..models.matchrcnn import init_model
+from .train_multidf2 import eval_products
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("TPU SEAM Match R-CNN MultiDF2 eval")
+    p.add_argument("--root_test", type=str, default="data/deepfashion2/validation/image")
+    p.add_argument("--test_annots", type=str, default="data/deepfashion2/validation/annots.json")
+    p.add_argument("--frames_per_shop_test", type=int, default=10)
+    p.add_argument("--first_n_withvideo", type=int, default=100)
+    p.add_argument("--score_threshold", type=float, default=0.0)
+    p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/multiDF2/DF2_epoch031")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = ModelConfig()
+    model, variables = init_model(cfg, video=True)
+    if args.ckpt_path and os.path.exists(args.ckpt_path):
+        if os.path.isdir(args.ckpt_path):
+            variables = restore_checkpoint(args.ckpt_path)["variables"]
+        else:
+            variables = load_torch_checkpoint(args.ckpt_path, video=True)
+
+    ds = MultiDeepFashion2Dataset(args.test_annots, args.root_test,
+                                  noise=False, filter_onestreet=True)
+    return evaluate(
+        model, variables,
+        eval_products(ds, args.frames_per_shop_test, args.first_n_withvideo),
+        EvalConfig(score_threshold=args.score_threshold,
+                   frames_per_product=args.frames_per_shop_test,
+                   first_n_withvideo=args.first_n_withvideo,
+                   tracking_threshold=0.7),
+    )
+
+
+if __name__ == "__main__":
+    main()

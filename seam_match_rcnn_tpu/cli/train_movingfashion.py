@@ -1,0 +1,153 @@
+"""Phase-2 CLI: SEAM training on MovingFashion.
+
+Mirrors /root/reference/train_movingfashion.py (defaults at :158-189): SGD
+lr 0.04 wd 5e-4, MultiStepLR [15, 25] γ0.1, 31 epochs, batch =
+(1 + frames_per_shop) * n_shops, phase-1 warm-start with match→aggregator
+weight cloning, periodic eval tracking best single/avg/aggr top-1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..config import EvalConfig, ModelConfig, SEAMTrainConfig
+from ..ckpt.io import CheckpointManager, restore_checkpoint
+from ..ckpt.torch_convert import load_torch_checkpoint
+from ..data.movingfashion import MovingFashionDataset, product_batches
+from ..eval.movingfashion import evaluate
+from ..eval.runner import InferenceRunner
+from ..models.matchrcnn import init_model
+from ..train.engine import train_one_epoch_movingfashion
+from ..train.optim import multistep_warmup_schedule, sgd
+from ..train.seam import create_head_state, make_seam_head_step, merge_head_state
+from ..utils.logging import ScalarWriter
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("TPU SEAM Match R-CNN phase-2 training")
+    p.add_argument("--root", type=str, default="data/MovingFashion")
+    p.add_argument("--train_annots", type=str, default="data/MovingFashion/train.json")
+    p.add_argument("--test_annots", type=str, default="data/MovingFashion/test.json")
+    p.add_argument("--n_shops", type=int, default=16)
+    p.add_argument("--frames_per_shop_train", type=int, default=10)
+    p.add_argument("--frames_per_shop_test", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=31)
+    p.add_argument("--lr", type=float, default=0.04)
+    p.add_argument("--w_decay", type=float, default=5e-4)
+    p.add_argument("--milestones", type=int, nargs="+", default=[15, 25])
+    p.add_argument("--gamma", type=float, default=0.1)
+    p.add_argument("--score_thresh", type=float, default=0.7)
+    p.add_argument("--eval_freq", type=int, default=4)
+    p.add_argument("--save_epochs", type=int, default=5)
+    p.add_argument("--save_tag", type=str, default="seam_mf")
+    p.add_argument("--save_dir", type=str, default="ckpt")
+    p.add_argument("--log_dir", type=str, default="runs")
+    p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--first_n_withvideo", type=int, default=100)
+    p.add_argument("--noise", type=bool, default=True)
+    # phase-1 checkpoint: torch (reference-released) or orbax
+    p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
+    p.add_argument("--start_ckpt", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = ModelConfig()
+    tcfg = SEAMTrainConfig(
+        lr=args.lr, weight_decay=args.w_decay, milestones=tuple(args.milestones),
+        gamma=args.gamma, epochs=args.epochs, n_shops=args.n_shops,
+        frames_per_shop=args.frames_per_shop_train, score_thresh=args.score_thresh,
+        eval_freq=args.eval_freq, save_epochs=args.save_epochs,
+        print_freq=args.print_freq, seed=args.seed,
+    )
+
+    train_ds = MovingFashionDataset(args.train_annots, root=args.root, noise=args.noise)
+    test_ds = MovingFashionDataset(args.test_annots, root=args.root, noise=args.noise)
+
+    model, variables = init_model(cfg, video=True)
+    if args.pretrained_path and os.path.exists(args.pretrained_path):
+        # reference: strip "module." + load_saved_matchrcnn clone
+        # (train_movingfashion.py:85-89)
+        variables = load_torch_checkpoint(
+            args.pretrained_path, video=True, clone_match_to_aggregator=True
+        )
+
+    steps_per_epoch = max(len(train_ds) // tcfg.n_shops, 1)
+    schedule = multistep_warmup_schedule(
+        tcfg.lr, tcfg.milestones, tcfg.gamma, steps_per_epoch,
+        tcfg.warmup_iters, tcfg.warmup_factor,
+    )
+    tx = sgd(schedule, tcfg.momentum, tcfg.weight_decay)
+    head_state = create_head_state(variables, tx)
+    start_ep = 0
+    if args.start_ckpt:
+        payload = restore_checkpoint(args.start_ckpt)
+        variables = payload["variables"]
+        head_state = create_head_state(variables, tx)
+        start_ep = int(payload.get("epoch", 0)) + 1
+
+    head_step = make_seam_head_step(
+        tx, frames_per_product=tcfg.frames_per_shop,
+        n_frames=cfg.match.n_frames,
+    )
+    writer = ScalarWriter(os.path.join(args.log_dir, args.save_tag))
+    ckpts = CheckpointManager(os.path.join(args.save_dir, args.save_tag),
+                              tcfg.save_epochs)
+    best = [0.0, 0.0, 0.0]
+
+    for epoch in range(start_ep, tcfg.epochs):
+        # the frozen detector uses the CURRENT head weights for roi export
+        runner = InferenceRunner(
+            model, merge_head_state(variables, head_state),
+            chunk=tcfg.infer_chunk, with_match=False, with_aggr_features=False,
+            with_roi_features=True,
+        )
+        head_state = train_one_epoch_movingfashion(
+            model, variables, head_state, head_step, runner,
+            product_batches(train_ds, tcfg.n_shops, tcfg.frames_per_shop,
+                            seed=tcfg.seed, epoch=epoch),
+            epoch, tcfg.n_shops, tcfg.frames_per_shop,
+            score_thresh=tcfg.score_thresh, print_freq=tcfg.print_freq,
+            writer=writer,
+        )
+        merged = merge_head_state(variables, head_state)
+        ckpts.maybe_save(epoch, {"variables": merged, "epoch": epoch})
+        if epoch % tcfg.eval_freq == 0:
+            res = evaluate(
+                model, merged,
+                _eval_products(test_ds, args.frames_per_shop_test,
+                               args.first_n_withvideo),
+                EvalConfig(frames_per_product=args.frames_per_shop_test,
+                           first_n_withvideo=args.first_n_withvideo),
+            )
+            best = [max(b, r) for b, r in zip(best, res)]
+            for tag, v in zip(("acc_single", "acc_avgdesc", "acc_aggrdesc"), res):
+                writer.add_scalar(tag, v, global_step=epoch)
+            print(f"epoch {epoch}: single/avg/aggr = {res}; best = {best}")
+    ckpts.maybe_save(tcfg.epochs - 1,
+                     {"variables": merge_head_state(variables, head_state),
+                      "epoch": tcfg.epochs - 1}, final=True)
+    writer.close()
+
+
+def _eval_products(ds: MovingFashionDataset, frames: int, first_n: int):
+    from ..data.movingfashion import product_batches as pb
+
+    for k, items in enumerate(pb(ds, 1, frames, shuffle=False, uniform_sampling=False)):
+        shop, frames_items = items[0], items[1:]
+        yield {
+            "images": [shop["image"]] + [f["image"] for f in frames_items],
+            "tracklet_gt": [f["tracklet"] for f in frames_items],
+            "source": shop["source"],
+            "key": shop["key"],
+            "has_video": k < first_n if first_n is not None else True,
+        }
+
+
+if __name__ == "__main__":
+    main()

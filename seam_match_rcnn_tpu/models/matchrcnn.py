@@ -400,5 +400,10 @@ def init_model(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     images = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
     sizes = jnp.asarray([[canvas[0], canvas[1]]], jnp.int32)
-    variables = model.init(rng, images, sizes, method=MatchRCNN.init_all)
+    # jit the init: flax init otherwise executes the whole detector eagerly
+    # op-by-op, which is minutes on CPU hosts.
+    init_fn = jax.jit(
+        lambda r, im, sz: model.init(r, im, sz, method=MatchRCNN.init_all)
+    )
+    variables = jax.tree.map(lambda x: x, init_fn(rng, images, sizes))
     return model, variables

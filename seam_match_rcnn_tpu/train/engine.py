@@ -1,0 +1,278 @@
+"""Epoch-level training engines.
+
+Re-design of /root/reference/stuffs/engine.py:
+  * ``train_one_epoch_matchrcnn`` (:18-71)   — phase-1 supervised loop.
+  * ``train_one_epoch_movingfashion`` (:76-199) — phase-2 SEAM loop.
+  * ``train_one_epoch_multiDF2`` (:202-340)  — MultiDF2 aggregator loop.
+
+Host responsibilities: canvas batching, GT padding, the data-dependent box
+selection between the frozen-detector pass and the head step, NaN guard
+(reference hard-exits at engine.py:56-60 — here we raise), metric logging.
+All math runs in the jitted steps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.transform import batch_images
+from ..utils.logging import MetricLogger, ScalarWriter
+from . import seam as seam_mod
+
+
+class NonFiniteLossError(RuntimeError):
+    pass
+
+
+def _check_finite(losses: Dict[str, float], context: str):
+    total = sum(float(v) for v in losses.values())
+    if not math.isfinite(total):
+        # reference prints and sys.exit(1)s (engine.py:56-60)
+        raise NonFiniteLossError(f"Loss is {total} at {context}: {losses}")
+
+
+def pad_targets(
+    targets: List[Dict[str, np.ndarray]], g_max: int, crop_size: int
+) -> Dict[str, np.ndarray]:
+    """Pad per-image GT dicts to a [B, G_max, ...] batch with validity."""
+    b = len(targets)
+    out = {
+        "boxes": np.zeros((b, g_max, 4), np.float32),
+        "labels": np.zeros((b, g_max), np.int32),
+        "valid": np.zeros((b, g_max), bool),
+        "pair_ids": np.zeros((b, g_max), np.int32),
+        "styles": np.zeros((b, g_max), np.int32),
+        "source": np.zeros((b,), np.int32),
+        "mask_crops": np.zeros((b, g_max, crop_size, crop_size), np.uint8),
+    }
+    for i, t in enumerate(targets):
+        g = min(len(t["boxes"]), g_max)
+        out["boxes"][i, :g] = t["boxes"][:g]
+        out["labels"][i, :g] = t["labels"][:g]
+        out["valid"][i, :g] = True
+        out["pair_ids"][i, :g] = t["pair_ids"][:g]
+        out["styles"][i, :g] = t["styles"][:g]
+        out["source"][i] = int(t["sources"][0]) if len(t["sources"]) else 0
+        out["mask_crops"][i, :g] = t["mask_crops"][:g]
+    return out
+
+
+def train_one_epoch_matchrcnn(
+    model,
+    state,
+    step_fn,
+    data: Iterable[Tuple[List[np.ndarray], List[Dict], List[int]]],
+    epoch: int,
+    rng: jax.Array,
+    print_freq: int = 100,
+    writer: Optional[ScalarWriter] = None,
+    g_max: int = 24,
+    steps_per_epoch: Optional[int] = None,
+):
+    """Phase-1 loop.  ``data`` yields (images, targets, ids) batches.
+
+    Mixed-orientation batches are split per canvas bucket and stepped
+    per bucket (the static-canvas analogue of torchvision's dynamic batch
+    padding); each sub-step is a full optimizer update.
+    """
+    logger = MetricLogger()
+    count = 0
+    for images, targets, ids in logger.log_every(data, print_freq,
+                                                 f"Epoch: [{epoch}]",
+                                                 total=steps_per_epoch):
+        for bucket in batch_images(images, model.cfg.transform):
+            bt = [targets[i] for i in bucket.indices]
+            crop = bt[0]["mask_crops"].shape[-1] if len(bt[0]["mask_crops"]) else 56
+            gt = pad_targets(bt, g_max, crop)
+            batch = {
+                "images": jnp.asarray(bucket.pixels),
+                "sizes": jnp.asarray(bucket.sizes),
+                "gt": jax.tree.map(jnp.asarray, gt),
+            }
+            rng, sub = jax.random.split(rng)
+            state, losses = step_fn(state, batch, sub)
+            lf = {k: float(v) for k, v in losses.items()}
+            _check_finite(lf, f"epoch {epoch} step {count} ids {ids}")
+            logger.update(**lf)
+            if writer is not None and count % print_freq == 0:
+                for k, v in lf.items():
+                    writer.add_scalar(k, v, global_step=int(state.step))
+            count += 1
+    return state, rng
+
+
+def _mf_batch_to_images(items: List[Dict]) -> Tuple[List[np.ndarray], List[int], List[int]]:
+    images = [it["image"] for it in items]
+    tags = [int(it["tag"]) for it in items]
+    prods = [int(it["i"]) for it in items]
+    # product ids within batch -> dense 0..P-1
+    uniq = {p: n for n, p in enumerate(dict.fromkeys(prods))}
+    return images, tags, [uniq[p] for p in prods]
+
+
+def train_one_epoch_movingfashion(
+    model,
+    variables,
+    head_state,
+    head_step,
+    runner,
+    data: Iterable[List[Dict]],
+    epoch: int,
+    n_products: int,
+    frames_per_product: int,
+    score_thresh: float = 0.7,
+    max_rows: int = 256,
+    print_freq: int = 20,
+    writer: Optional[ScalarWriter] = None,
+):
+    """Phase-2 SEAM loop (engine.py:76-199).  ``runner`` is an
+    InferenceRunner built over the CURRENT variables with roi_features
+    export; the frozen detector never changes during the epoch."""
+    logger = MetricLogger()
+    count = 0
+    for items in logger.log_every(data, print_freq, f"Epoch: [{epoch}]"):
+        images, tags, prods = _mf_batch_to_images(items)
+        outs = runner(images)
+        sel = seam_mod.select_rows_host(
+            outs, tags, prods, score_thresh, n_products, frames_per_product,
+            max_rows,
+        )
+        if sel is None:
+            continue
+        batch = {
+            "roi_features": jnp.asarray(sel.roi_features),
+            "valid": jnp.asarray(sel.valid),
+            "types": jnp.asarray(sel.types),
+            "prod": jnp.asarray(sel.prod),
+            "img_slot": jnp.asarray(sel.img_slot),
+            "shop_row": jnp.asarray(sel.shop_row),
+            # weight_aggr = min(epoch / 1, 1.0) (engine.py:162)
+            "aggr_weight": jnp.asarray(min(float(epoch), 1.0), jnp.float32),
+        }
+        head_state, losses = head_step(head_state, batch)
+        lf = {k: float(v) for k, v in losses.items()}
+        _check_finite(lf, f"epoch {epoch} step {count}")
+        logger.update(**lf)
+        if writer is not None and count % print_freq == 0:
+            for k, v in lf.items():
+                writer.add_scalar(k, v, global_step=int(head_state.step))
+        count += 1
+    return head_state
+
+
+def _best_iou_rows_mdf2(
+    outs: List[Dict[str, np.ndarray]],
+    items: List[Dict],
+    prods: List[int],
+    score_thresh: float,
+    n_products: int,
+    frames_per_product: int,
+    max_rows: int,
+):
+    """MultiDF2 host selection (engine.py:258-295): within each image the
+    detection best overlapping the product's GT box represents the product;
+    shop images keep only that box; products whose shop has no detection are
+    excluded."""
+    from ..ops.rle import box_iou_xywh
+
+    rows = []  # (roi, tag, prod)
+    excluded = set()
+    seq_rows: Dict[int, List[int]] = {p: [] for p in range(n_products)}
+    shop_row = np.full((n_products,), -1, np.int32)
+
+    for (o, it, p) in zip(outs, items, prods):
+        if p in excluded:
+            continue
+        keep = np.nonzero((o["scores"] >= score_thresh) & o["valid"])[0]
+        if keep.size < 1:
+            if it["tag"] == 1:
+                excluded.add(p)
+            continue
+        style, pair_id = [int(x) for x in it["key"].split("_")]
+        gmask = (np.asarray(it["styles"]) == style) & (np.asarray(it["pair_ids"]) == pair_id)
+        if not gmask.any():
+            continue
+        gt_box = np.asarray(it["boxes"])[gmask][:1]
+        pb = o["boxes"][keep]
+        pb_xywh = np.concatenate([pb[:, :2], pb[:, 2:] - pb[:, :2]], 1)
+        gt_xywh = np.concatenate([gt_box[:, :2], gt_box[:, 2:] - gt_box[:, :2]], 1)
+        best = keep[int(np.argmax(box_iou_xywh(gt_xywh, pb_xywh)[0]))]
+        r = len(rows)
+        if r >= max_rows:
+            break
+        rows.append((o["roi_features"][best], it["tag"], p))
+        if it["tag"] == 1:
+            if shop_row[p] < 0:
+                shop_row[p] = r
+        else:
+            seq_rows[p].append(r)
+
+    rows = [x for x in rows if x[2] not in excluded]
+    if len(rows) < 2:
+        return None
+    k = max_rows
+    roi = np.zeros((k, 14, 14, 256), np.float32)
+    for r, (feat, _, _) in enumerate(rows):
+        roi[r] = feat
+    t = frames_per_product
+    seq_gather = np.zeros((n_products, t), np.int32)
+    seq_mask = np.zeros((n_products, t), bool)
+    for p, rws in seq_rows.items():
+        if p in excluded:
+            continue
+        for j, r in enumerate(rws[:t]):
+            seq_gather[p, j] = r
+            seq_mask[p, j] = True
+    for p in excluded:
+        shop_row[p] = -1
+        seq_mask[p] = False
+    return {
+        "roi_features": roi,
+        "shop_row": shop_row,
+        "seq_gather": seq_gather,
+        "seq_mask": seq_mask,
+    }
+
+
+def train_one_epoch_multidf2(
+    model,
+    variables,
+    head_state,
+    head_step,
+    runner,
+    data: Iterable[List[Dict]],
+    epoch: int,
+    n_products: int,
+    frames_per_product: int,
+    score_thresh: float = 0.7,
+    max_rows: int = 256,
+    print_freq: int = 20,
+    writer: Optional[ScalarWriter] = None,
+):
+    logger = MetricLogger()
+    count = 0
+    for items in logger.log_every(data, print_freq, f"Epoch: [{epoch}]"):
+        images, tags, prods = _mf_batch_to_images(items)
+        outs = runner(images)
+        sel = _best_iou_rows_mdf2(
+            outs, items, prods, score_thresh, n_products, frames_per_product,
+            max_rows,
+        )
+        if sel is None:
+            continue
+        batch = jax.tree.map(jnp.asarray, sel)
+        head_state, losses = head_step(head_state, batch)
+        lf = {k: float(v) for k, v in losses.items()}
+        _check_finite(lf, f"epoch {epoch} step {count}")
+        logger.update(**lf)
+        if writer is not None and count % print_freq == 0:
+            for k, v in lf.items():
+                writer.add_scalar(k, v, global_step=int(head_state.step))
+        count += 1
+    return head_state

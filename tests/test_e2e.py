@@ -1,0 +1,82 @@
+"""End-to-end smokes on synthetic fixtures: SEAM phase-2 training epoch and
+the MovingFashion retrieval eval, with a tiny detector."""
+
+import numpy as np
+import jax
+import pytest
+
+from seam_match_rcnn_tpu.config import EvalConfig, ModelConfig, RPNConfig, RoIHeadsConfig, TransformConfig
+from seam_match_rcnn_tpu.data.movingfashion import MovingFashionDataset, product_batches
+from seam_match_rcnn_tpu.data.synthetic import make_synthetic_movingfashion
+from seam_match_rcnn_tpu.eval.movingfashion import evaluate
+from seam_match_rcnn_tpu.eval.runner import InferenceRunner
+from seam_match_rcnn_tpu.models.matchrcnn import init_model
+from seam_match_rcnn_tpu.train.engine import train_one_epoch_movingfashion
+from seam_match_rcnn_tpu.train.optim import sgd
+from seam_match_rcnn_tpu.train.seam import create_head_state, make_seam_head_step, merge_head_state
+
+
+@pytest.fixture(scope="module")
+def tiny_video_model():
+    cfg = ModelConfig(
+        rpn=RPNConfig(pre_nms_top_n_test=60, post_nms_top_n_test=80),
+        roi_heads=RoIHeadsConfig(detections_per_img=8, score_thresh=0.01),
+        transform=TransformConfig(min_size=96, max_size=128),
+        compute_dtype="float32",
+    )
+    model, variables = init_model(cfg, video=True, canvas=(64, 64))
+    return cfg, model, variables
+
+
+@pytest.fixture(scope="module")
+def mf_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mf_e2e")
+    path = make_synthetic_movingfashion(str(root), n_products=3, n_frames=10)
+    return str(root), path
+
+
+def test_eval_movingfashion_e2e(tiny_video_model, mf_root, tmp_path):
+    cfg, model, variables = tiny_video_model
+    root, path = mf_root
+    ds = MovingFashionDataset(path, root=root, noise=False)
+
+    def products():
+        for k, items in enumerate(product_batches(ds, 1, 3, shuffle=False)):
+            yield {
+                "images": [items[0]["image"]] + [f["image"] for f in items[1:]],
+                "tracklet_gt": [f["tracklet"] for f in items[1:]],
+                "source": items[0]["source"],
+                "key": items[0]["key"],
+                "has_video": True,
+            }
+
+    runner = InferenceRunner(model, variables, chunk=4)
+    r1, r2, r3 = evaluate(
+        model, variables, products(),
+        EvalConfig(score_threshold=0.0, frames_per_product=3,
+                   first_n_withvideo=None, infer_chunk=4),
+        runner=runner, out_dir=str(tmp_path / "logs_mf"),
+    )
+    for r in (r1, r2, r3):
+        assert 0.0 <= r <= 1.0
+    assert (tmp_path / "logs_mf" / "metrics.json").exists()
+
+
+def test_seam_epoch_e2e(tiny_video_model, mf_root):
+    cfg, model, variables = tiny_video_model
+    root, path = mf_root
+    ds = MovingFashionDataset(path, root=root, noise=False)
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    head_state = create_head_state(variables, tx)
+    head_step = make_seam_head_step(tx, frames_per_product=3, n_frames=2)
+    runner = InferenceRunner(model, variables, chunk=4, with_match=False,
+                             with_aggr_features=False, with_roi_features=True)
+    head_state = train_one_epoch_movingfashion(
+        model, variables, head_state, head_step, runner,
+        product_batches(ds, n_products=3, frames_per_product=3, shuffle=False),
+        epoch=1, n_products=3, frames_per_product=3,
+        score_thresh=0.0, max_rows=64, print_freq=10,
+    )
+    assert int(head_state.step) >= 1
+    merged = merge_head_state(variables, head_state)
+    assert "temporal_aggregator" in merged["params"]
