@@ -28,6 +28,11 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
+try:  # native C++ codec (build with: python native/build.py)
+    from .. import _seamops
+except Exception:  # pragma: no cover
+    _seamops = None
+
 RLE = Dict[str, object]  # {"size": [h, w], "counts": list[int] | bytes}
 
 
@@ -35,6 +40,10 @@ def encode(mask: np.ndarray) -> RLE:
     """Binary [H, W] mask -> uncompressed RLE (column-major runs)."""
     h, w = mask.shape
     flat = np.asfortranarray(mask.astype(np.uint8)).reshape(-1, order="F")
+    if _seamops is not None:
+        # the native encoder starts from value 0, so a leading 1 already
+        # yields the conventional 0-count first run
+        return {"size": [h, w], "counts": _seamops.rle_encode(flat.tobytes())}
     # runs of equal values, starting with count of zeros
     diffs = np.nonzero(np.diff(flat))[0] + 1
     bounds = np.concatenate([[0], diffs, [flat.size]])
@@ -49,6 +58,9 @@ def decode(rle: RLE) -> np.ndarray:
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
         counts = _leb_decode(counts)
+    if _seamops is not None:
+        raw = _seamops.rle_decode(list(counts), int(h), int(w))
+        return np.frombuffer(raw, np.uint8).reshape((h, w), order="F").copy()
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0
     val = 0
@@ -93,8 +105,11 @@ def mask_iou(masks1: Sequence[RLE], masks2: Sequence[RLE]) -> np.ndarray:
 
 def box_iou_xywh(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
     """pycocotools-compatible box IoU on xywh boxes -> [N1, N2]."""
-    b1 = np.asarray(boxes1, np.float64)
-    b2 = np.asarray(boxes2, np.float64)
+    b1 = np.ascontiguousarray(boxes1, np.float64)
+    b2 = np.ascontiguousarray(boxes2, np.float64)
+    if _seamops is not None and b1.size and b2.size:
+        raw = _seamops.box_iou_xywh(b1.tobytes(), b2.tobytes())
+        return np.frombuffer(raw, np.float64).reshape(len(b1), len(b2)).copy()
     x11, y11 = b1[:, 0], b1[:, 1]
     x12, y12 = b1[:, 0] + b1[:, 2], b1[:, 1] + b1[:, 3]
     x21, y21 = b2[:, 0], b2[:, 1]
