@@ -39,8 +39,20 @@ def pairwise_match_scores(
     x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray
 ) -> jnp.ndarray:
     """softmax(logits)[..., 1] — the match probability used for ranking
-    (/root/reference/evaluate_movingfashion.py:97-98)."""
-    logits = pairwise_match_logits(x, y, w, b)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    return e[..., 1] / jnp.sum(e, axis=-1)
+    (/root/reference/evaluate_movingfashion.py:97-98).
+
+    Two-class softmax reduces to sigmoid(l1 − l0), and the logit difference
+    is linear in (x−y)², so the whole [Q, G] score matrix is ONE matmul plus
+    rank-1 terms:
+
+      d[i,j] = Σ_c v_c (x_ic − y_jc)² + c₀,  v = w₁−w₀, c₀ = b₁−b₀
+             = a_i + g_j − 2·(x∘v)·yᵀ
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    v = (w[1] - w[0]).astype(jnp.float32)
+    c0 = (b[1] - b[0]).astype(jnp.float32)
+    a = (x * x) @ v
+    g = (y * y) @ v
+    cross = jnp.matmul(x * v, y.T, precision=_P)
+    return jax.nn.sigmoid(a[:, None] + g[None, :] - 2.0 * cross + c0)
