@@ -23,6 +23,10 @@ from ..ops.pairwise import pairwise_match_scores
 
 @functools.partial(jax.jit, static_argnames=())
 def _score_chunk(street, shop, w, b):
+    if jax.default_backend() == "tpu" and street.shape[0] >= 128:
+        from ..ops.pallas_kernels import pairwise_scores
+
+        return pairwise_scores(street, shop, w, b)
     return pairwise_match_scores(street, shop, w, b)
 
 
