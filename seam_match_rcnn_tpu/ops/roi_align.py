@@ -84,7 +84,7 @@ def multilevel_roi_align(
     spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
     canonical_scale: float = 224.0,
     canonical_level: int = 4,
-    roi_chunk: int = 256,
+    roi_chunk: int = 500,
 ) -> jnp.ndarray:
     """RoIAlign over a 4-level FPN pyramid for a single image.
 

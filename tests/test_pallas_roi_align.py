@@ -1,0 +1,77 @@
+"""Pallas RoIAlign vs the exact XLA implementation (interpret mode).
+
+Agreement is exact (up to float assoc.) whenever a roi's footprint at its
+FPN level fits the 40-cell patch — i.e. aspect ratios up to ~2.8, which the
+level mapper guarantees for typical boxes; extreme-aspect rois clamp to the
+patch edge (documented approximation).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from seam_match_rcnn_tpu.ops.pallas_roi_align import pallas_multilevel_roi_align
+from seam_match_rcnn_tpu.ops.roi_align import multilevel_roi_align
+
+
+def make_pyramid(seed, c=8, base=(64, 96)):
+    rng = np.random.RandomState(seed)
+    feats = []
+    h, w = base
+    for _ in range(4):
+        feats.append(rng.randn(h, w, c).astype(np.float32))
+        h, w = max(h // 2, 1), max(w // 2, 1)
+    return feats
+
+
+def moderate_rois(n, img_hw=(256, 384), seed=0, max_aspect=2.0):
+    rng = np.random.RandomState(seed)
+    h, w = img_hw
+    rois = []
+    for _ in range(n):
+        side = rng.uniform(8, 200)
+        a = rng.uniform(1.0 / max_aspect, max_aspect)
+        bw = side * np.sqrt(a)
+        bh = side / np.sqrt(a)
+        x1 = rng.uniform(0, max(w - bw, 1))
+        y1 = rng.uniform(0, max(h - bh, 1))
+        rois.append([x1, y1, min(x1 + bw, w), min(y1 + bh, h)])
+    return np.asarray(rois, np.float32)
+
+
+def test_pallas_roi_align_matches_xla():
+    feats = [jnp.asarray(f) for f in make_pyramid(seed=1)]
+    rois = jnp.asarray(moderate_rois(24, seed=2))
+    want = np.asarray(multilevel_roi_align(feats, rois, 7, 2, roi_chunk=8))
+    got = np.asarray(pallas_multilevel_roi_align(feats, rois, 7, 2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_roi_align_mask_size():
+    feats = [jnp.asarray(f) for f in make_pyramid(seed=3)]
+    rois = jnp.asarray(moderate_rois(8, seed=4))
+    want = np.asarray(multilevel_roi_align(feats, rois, 14, 2, roi_chunk=8))
+    got = np.asarray(pallas_multilevel_roi_align(feats, rois, 14, 2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_roi_align_border_boxes():
+    feats = [jnp.asarray(f) for f in make_pyramid(seed=5)]
+    rois = jnp.asarray([
+        [0.0, 0.0, 30.0, 40.0],            # top-left corner
+        [350.0, 220.0, 384.0, 256.0],      # bottom-right corner
+        [0.0, 0.0, 384.0, 256.0],          # whole image (level 3)
+        [5.0, 5.0, 6.0, 6.0],              # tiny
+    ])
+    want = np.asarray(multilevel_roi_align(feats, rois, 7, 2, roi_chunk=4))
+    got = np.asarray(pallas_multilevel_roi_align(feats, rois, 7, 2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_roi_align_bf16_inputs():
+    feats = [jnp.asarray(f, jnp.bfloat16) for f in make_pyramid(seed=6)]
+    rois = jnp.asarray(moderate_rois(6, seed=7))
+    want = np.asarray(
+        multilevel_roi_align(feats, rois, 7, 2, roi_chunk=4)
+    ).astype(np.float32)
+    got = np.asarray(pallas_multilevel_roi_align(feats, rois, 7, 2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
