@@ -64,8 +64,20 @@ class InferenceRunner:
     def __call__(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
         """images: list of HWC float arrays in [0, 1].  Returns one dict per
         image (original order) with boxes in ORIGINAL image coordinates."""
+        results, _ = self.run(images, device_keys=())
+        return results
+
+    def run(self, images: List[np.ndarray], device_keys=("roi_features",)):
+        """Like __call__ but keeps the listed output keys ON DEVICE,
+        returned separately as [N_images, ...] arrays in original order —
+        the phase-2 training path feeds these straight back into the jitted
+        head step, avoiding the device→host→device roundtrip of the
+        reference's ``output = model(images); roi_features.append(...)``
+        pattern (engine.py:113-144)."""
         cfg = self.model.cfg.transform
         results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
+        dev_chunks = {k: [] for k in device_keys}
+        order: List[int] = []
         for bucket in batch_images(images, cfg):
             n = bucket.pixels.shape[0]
             for s in range(0, n, self.chunk):
@@ -77,13 +89,23 @@ class InferenceRunner:
                     pix = np.concatenate([pix, np.zeros((pad,) + pix.shape[1:], pix.dtype)])
                     sz = np.concatenate([sz, np.tile(sz[-1:], (pad, 1))])
                 out = self._fwd(self.variables, jnp.asarray(pix), jnp.asarray(sz))
-                out = jax.tree.map(np.asarray, out)
+                for k in device_keys:
+                    dev_chunks[k].append(out[k][: e - s])
+                host = jax.tree.map(
+                    np.asarray, {k: v for k, v in out.items() if k not in device_keys}
+                )
                 for j in range(e - s):
                     gidx = bucket.indices[s + j]
-                    r = {k: v[j] for k, v in out.items()}
+                    r = {k: v[j] for k, v in host.items()}
                     r["boxes"] = resize_boxes_back(
                         r["boxes"], tuple(bucket.sizes[s + j]),
                         tuple(bucket.orig_sizes[s + j]),
                     )
                     results[gidx] = r
-        return results  # type: ignore[return-value]
+                order.extend(bucket.indices[s:e])
+        device_out = {}
+        if device_keys:
+            inv = np.argsort(np.asarray(order))
+            for k in device_keys:
+                device_out[k] = jnp.concatenate(dev_chunks[k], axis=0)[jnp.asarray(inv)]
+        return results, device_out

@@ -5,18 +5,21 @@ bandwidth-correct but gather-throughput-bound on TPU (~14 µs/roi measured —
 dominating the whole detector).  This kernel restructures the op around the
 hardware:
 
-  * each roi DMAs ONE contiguous [PATCH, PATCH, C] window of its FPN level
+  * each roi DMAs ONE contiguous [PATCH, PATCH_W, C] window of its FPN level
     from HBM into VMEM (the FPN level mapper bounds a roi's footprint at its
-    level to ≈14–28 feature cells per side, so a 40-cell patch covers every
-    aspect ratio ≤ ~2.8; larger-aspect outliers clamp to the patch edge —
+    level to ≈14–28 feature cells per side, so the patch covers every aspect
+    ratio ≤ ~2.8; larger-aspect outliers clamp to the patch edge —
     documented approximation, exact for typical garment boxes);
   * bilinear sampling becomes two small MXU matmuls with one-hot
     interpolation matrices built on the VPU:
-        tmp = W_y @ patch            [P, PATCH] @ [PATCH, PATCH·C]
-        out = W_x @ tmpᵀ             (contracted via dot_general)
+        tmp = W_y @ patch            [P, PATCH] @ [PATCH, PATCH_W·C]
+        out = W_x · tmp              (contracted over the W axis)
     followed by the sampling_ratio² average pool;
-  * per-roi scalars (level, window origin, sample-grid geometry) arrive via
-    scalar prefetch so the DMA address is known before the body runs.
+  * per-roi DMA addresses (image, level, window origin) arrive via scalar
+    prefetch; the float sample-grid geometry streams through VMEM.  The
+    batch dimension is folded into the grid (one program per roi across the
+    whole batch) and rois are chunked so the prefetch arrays stay within
+    SMEM.
 
 Semantics otherwise follow torchvision aligned=False exactly
 (/root/reference/models/matchrcnn.py:21-28 via MultiScaleRoIAlign):
@@ -31,22 +34,25 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import fpn_level_indices
 
-PATCH = 40  # feature cells per patch side
+PATCH = 40      # patch rows (H; untiled dim, no alignment constraint)
+PATCH_W = 48    # patch cols: 40 + 8 slack so the HBM slice start can be
+                # 8-aligned (Mosaic requires tiled-dim DMA offsets divisible
+                # by the sublane tiling)
+ROI_CHUNK = 2048  # rois per pallas_call (bounds the SMEM prefetch arrays)
 
 
-def _prep_scalars(rois, level_shapes, spatial_scales, output_size, sampling_ratio):
-    """Per-roi DMA/geometry scalars (all shapes static).
+def _prep_scalars(rois, level_shapes, spatial_scales, output_size):
+    """Per-roi DMA/geometry scalars for a flat [N, 4] roi array.
 
-    Returns (lvl [N], y0 [N], x0 [N], fgeom [N, 8]) with fgeom rows
-    (sy, sx, bin_h, bin_w, ymin, ymax, xmin, xmax) — sample-grid start and
-    bin sizes in patch-local feature units plus the in-range/clamp bounds of
-    the image inside the patch frame.
+    Returns (lvl [N], y0 [N], x0 [N] int32, fgeom [N, 8] f32) with fgeom
+    rows (sy, sx, bin_h, bin_w, ymin, ymax, xmin, xmax): sample-grid origin
+    and bin sizes in patch-local feature units plus in-range/clamp bounds of
+    the image in the patch frame.
     """
     heights = jnp.asarray([s[0] for s in level_shapes], jnp.float32)
     widths = jnp.asarray([s[1] for s in level_shapes], jnp.float32)
@@ -64,15 +70,18 @@ def _prep_scalars(rois, level_shapes, spatial_scales, output_size, sampling_rati
     bin_w = roi_w / output_size
     bin_h = roi_h / output_size
 
-    # patch origin: center the roi, clamp into the (PATCH-padded) level
+    # patch origin: center the roi, clamp into the level
     y0 = jnp.floor(y1 + roi_h * 0.5 - PATCH * 0.5)
-    x0 = jnp.floor(x1 + roi_w * 0.5 - PATCH * 0.5)
+    x0 = jnp.floor(x1 + roi_w * 0.5 - PATCH_W * 0.5)
     y0 = jnp.clip(y0, -1.0, jnp.maximum(h - 1.0, 0.0))
     x0 = jnp.clip(x0, -1.0, jnp.maximum(w - 1.0, 0.0))
-    # HBM arrays are padded by 1 leading / PATCH trailing cells, so index
-    # y0+1 in the padded array == image row y0.
+    # HBM arrays are padded by 1 leading / PATCH(_W) trailing cells, so
+    # index y0+1 in the padded array == image row y0.  The W (tiled) DMA
+    # offset must be 8-aligned: round the padded start down and absorb the
+    # shift into the sample-grid origin.
     y0i = (y0 + 1.0).astype(jnp.int32)
-    x0i = (x0 + 1.0).astype(jnp.int32)
+    x0p = ((x0 + 1.0).astype(jnp.int32) // 8) * 8
+    x0 = x0p.astype(jnp.float32) - 1.0
 
     fgeom = jnp.stack(
         [
@@ -81,24 +90,21 @@ def _prep_scalars(rois, level_shapes, spatial_scales, output_size, sampling_rati
         ],
         axis=1,
     ).astype(jnp.float32)
-    return lvl.astype(jnp.int32), y0i, x0i, fgeom
+    return lvl.astype(jnp.int32), y0i, x0p, fgeom
 
 
-def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio):
-    """One-hot bilinear interpolation matrix [out_size*ratio, PATCH] plus the
-    per-row validity, replicating torchvision's border rules in patch-local
-    coordinates.  hi_bound is the image extent (H) in patch coords; the
-    clamped last row is hi_bound - 1."""
+def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width):
+    """One-hot bilinear interpolation matrix [out_size*ratio, width] with
+    torchvision's border rules in patch-local coordinates."""
     p = out_size * ratio
-    idx = jax.lax.broadcasted_iota(jnp.float32, (p, 1), 0)
-    bins = jnp.floor(idx / ratio)
-    sub = idx - bins * ratio
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    bins = (idx_i // ratio).astype(jnp.float32)
+    sub = (idx_i % ratio).astype(jnp.float32)
     coord = start + bins * bin_size + (sub + 0.5) / ratio * bin_size  # [p,1]
 
     in_range = (coord >= lo_bound) & (coord <= hi_bound)
     c = jnp.maximum(coord, jnp.maximum(lo_bound + 1.0, 0.0))
-    # clamp into the patch AND the image
-    last = jnp.minimum(hi_bound - 1.0, PATCH - 1.0)
+    last = jnp.minimum(hi_bound - 1.0, width - 1.0)  # image border or patch edge
     c = jnp.minimum(c, last)
     lo = jnp.floor(c)
     at_border = lo >= last
@@ -106,59 +112,144 @@ def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio):
     hi = jnp.where(at_border, last, lo + 1.0)
     lerp = jnp.where(at_border, 0.0, c - lo)
 
-    cols = jax.lax.broadcasted_iota(jnp.float32, (p, PATCH), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, width), 1).astype(jnp.float32)
     m = (cols == lo) * (1.0 - lerp) + (cols == hi) * lerp
     return m * in_range
 
 
-def _kernel(lvl_ref, y0_ref, x0_ref, geom_ref, f0, f1, f2, f3, out_ref,
-            patch, sem, *, output_size, sampling_ratio):
+MINI = 8  # rois per grid program: all MINI patch DMAs issued up-front
+          # (latency amortized), computes run back-to-back
+
+
+def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, geom_ref,
+            f0, f1, f2, f3, out_ref, patch, sem,
+            *, output_size, sampling_ratio):
     i = pl.program_id(0)
-    lvl = lvl_ref[i]
-    y0 = y0_ref[i]
-    x0 = x0_ref[i]
+    refs = (f0, f1, f2, f3)
 
-    for k, f in enumerate((f0, f1, f2, f3)):
-        @pl.when(lvl == k)
-        def _():
-            cp = pltpu.make_async_copy(
-                f.at[pl.ds(y0, PATCH), pl.ds(x0, PATCH), :], patch, sem
-            )
-            cp.start()
-            cp.wait()
-
-    sy = geom_ref[i, 0]
-    sx = geom_ref[i, 1]
-    bh = geom_ref[i, 2]
-    bw = geom_ref[i, 3]
-    wy = _interp_matrix(sy, bh, geom_ref[i, 4], geom_ref[i, 5],
-                        output_size, sampling_ratio)      # [P, PATCH]
-    wx = _interp_matrix(sx, bw, geom_ref[i, 6], geom_ref[i, 7],
-                        output_size, sampling_ratio)
+    for k in range(MINI):
+        j = i * MINI + k
+        img = img_ref[j]
+        lvl = lvl_ref[j]
+        y0 = y0_ref[j]
+        x0 = pl.multiple_of(x0_ref[j], 8)
+        for lv, f in enumerate(refs):
+            @pl.when(lvl == lv)
+            def _():
+                pltpu.make_async_copy(
+                    f.at[img, pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :],
+                    patch.at[k], sem.at[k],
+                ).start()
 
     c = patch.shape[-1]
     pts = output_size * sampling_ratio
-    pf = patch[:].astype(jnp.float32)
-    tmp = jax.lax.dot_general(
-        wy, pf.reshape(PATCH, PATCH * c),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(pts, PATCH, c)
-    # out[x, y, c] = sum_w wx[x, w] * tmp[y, w, c]
-    out = jax.lax.dot_general(
-        wx, tmp,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                      # [Px, Py, C]
     r = sampling_ratio
-    pooled = out.reshape(output_size, r, output_size, r, c).sum((1, 3)) / (r * r)
-    out_ref[0] = jnp.swapaxes(pooled, 0, 1)                # -> [y, x, C]
+    for k in range(MINI):
+        pltpu.make_async_copy(
+            f0.at[0, pl.ds(0, PATCH), pl.ds(0, PATCH_W), :],
+            patch.at[k], sem.at[k],
+        ).wait()
+        wy = _interp_matrix(geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
+                            geom_ref[k, 5], output_size, sampling_ratio, PATCH)
+        wx = _interp_matrix(geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
+                            geom_ref[k, 7], output_size, sampling_ratio, PATCH_W)
+        pf = patch[k][:].astype(jnp.float32)
+        tmp = jax.lax.dot_general(
+            wy, pf.reshape(PATCH, PATCH_W * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(pts, PATCH_W, c)
+        # out[x, y, c] = sum_w wx[x, w] * tmp[y, w, c]
+        out = jax.lax.dot_general(
+            wx, tmp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [Px, Py, C]
+        pooled = out.reshape(output_size, r, output_size, r, c).sum((1, 3)) / (r * r)
+        out_ref[k] = jnp.swapaxes(pooled, 0, 1)            # -> [y, x, C]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "interpret"),
+    static_argnames=("output_size", "sampling_ratio", "interpret", "roi_chunk"),
 )
+def pallas_roi_align_batched(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
+    interpret: bool = False,
+    roi_chunk: int = ROI_CHUNK,
+) -> jnp.ndarray:
+    """Batched multi-level RoIAlign.
+
+    features: per level [B, H_l, W_l, C]; rois: [B, R, 4] in image coords.
+    Returns [B, R, out, out, C] float32.
+    """
+    b, r = rois.shape[:2]
+    c = features[0].shape[-1]
+    level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
+
+    padded = [jnp.pad(f, ((0, 0), (1, PATCH), (1, PATCH_W), (0, 0)))
+              for f in features]
+
+    flat_rois = rois.reshape(b * r, 4)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    lvl, y0, x0, fgeom = _prep_scalars(
+        flat_rois, level_shapes, spatial_scales, output_size
+    )
+
+    n = b * r
+    pad = (-n) % roi_chunk
+    if pad:
+        img_idx = jnp.pad(img_idx, (0, pad))
+        lvl = jnp.pad(lvl, (0, pad))
+        y0 = jnp.pad(y0, (0, pad))
+        x0 = jnp.pad(x0, (0, pad))
+        fgeom = jnp.pad(fgeom, ((0, pad), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, output_size=output_size, sampling_ratio=sampling_ratio
+    )
+    assert roi_chunk % MINI == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(roi_chunk // MINI,),
+        in_specs=[
+            pl.BlockSpec((MINI, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (MINI, output_size, output_size, c), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((MINI, PATCH, PATCH_W, c), padded[0].dtype),
+            pltpu.SemaphoreType.DMA((MINI,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((roi_chunk, output_size, output_size, c),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+    n_chunks = (n + pad) // roi_chunk
+    chunk = lambda a: a.reshape((n_chunks, roi_chunk) + a.shape[1:])
+
+    def body(args):
+        im, lv, yy, xx, geom = args
+        return call(im, lv, yy, xx, geom, *padded)
+
+    outs = jax.lax.map(
+        body, (chunk(img_idx), chunk(lvl), chunk(y0), chunk(x0), chunk(fgeom))
+    )
+    out = outs.reshape(n + pad, output_size, output_size, c)[:n]
+    return out.reshape(b, r, output_size, output_size, c)
+
+
 def pallas_multilevel_roi_align(
     features: Sequence[jnp.ndarray],
     rois: jnp.ndarray,
@@ -167,42 +258,10 @@ def pallas_multilevel_roi_align(
     spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Single image: features [H_l, W_l, C] per level, rois [N, 4] ->
-    [N, out, out, C] (float32)."""
-    c = features[0].shape[-1]
-    level_shapes = tuple((f.shape[0], f.shape[1]) for f in features)
-    n = rois.shape[0]
-
-    # pad every level: 1 leading cell (for y0 = -1 windows) and PATCH
-    # trailing cells so [y0, y0+PATCH) is always in-bounds; pads are zero and
-    # only ever touched with zero interpolation weight.
-    padded = [
-        jnp.pad(f, ((1, PATCH), (1, PATCH), (0, 0))) for f in features
-    ]
-    lvl, y0, x0, geom = _prep_scalars(
-        rois, level_shapes, spatial_scales, output_size, sampling_ratio
+    """Single-image convenience wrapper: features [H_l, W_l, C], rois [N, 4]."""
+    out = pallas_roi_align_batched(
+        [f[None] for f in features], rois[None], output_size, sampling_ratio,
+        spatial_scales, interpret=interpret,
+        roi_chunk=min(ROI_CHUNK, ((max(8, rois.shape[0]) + 7) // 8) * 8),
     )
-
-    kernel = functools.partial(
-        _kernel, output_size=output_size, sampling_ratio=sampling_ratio
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=pl.BlockSpec(
-            (1, output_size, output_size, c), lambda i, *_: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((PATCH, PATCH, c), padded[0].dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, output_size, output_size, c), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(lvl, y0, x0, geom, *padded)
-    return out
+    return out[0]

@@ -138,7 +138,7 @@ def train_one_epoch_movingfashion(
     count = 0
     for items in logger.log_every(data, print_freq, f"Epoch: [{epoch}]"):
         images, tags, prods = _mf_batch_to_images(items)
-        outs = runner(images)
+        outs, dev = runner.run(images, device_keys=("roi_features",))
         sel = seam_mod.select_rows_host(
             outs, tags, prods, score_thresh, n_products, frames_per_product,
             max_rows,
@@ -146,7 +146,9 @@ def train_one_epoch_movingfashion(
         if sel is None:
             continue
         batch = {
-            "roi_features": jnp.asarray(sel.roi_features),
+            "roi_src": dev["roi_features"],
+            "row_img": jnp.asarray(sel.row_img),
+            "row_det": jnp.asarray(sel.row_det),
             "valid": jnp.asarray(sel.valid),
             "types": jnp.asarray(sel.types),
             "prod": jnp.asarray(sel.prod),
@@ -181,12 +183,12 @@ def _best_iou_rows_mdf2(
     excluded."""
     from ..ops.rle import box_iou_xywh
 
-    rows = []  # (roi, tag, prod)
+    rows = []  # (img, det, tag, prod)
     excluded = set()
     seq_rows: Dict[int, List[int]] = {p: [] for p in range(n_products)}
     shop_row = np.full((n_products,), -1, np.int32)
 
-    for (o, it, p) in zip(outs, items, prods):
+    for i, (o, it, p) in enumerate(zip(outs, items, prods)):
         if p in excluded:
             continue
         keep = np.nonzero((o["scores"] >= score_thresh) & o["valid"])[0]
@@ -206,20 +208,22 @@ def _best_iou_rows_mdf2(
         r = len(rows)
         if r >= max_rows:
             break
-        rows.append((o["roi_features"][best], it["tag"], p))
+        rows.append((i, int(best), it["tag"], p))
         if it["tag"] == 1:
             if shop_row[p] < 0:
                 shop_row[p] = r
         else:
             seq_rows[p].append(r)
 
-    rows = [x for x in rows if x[2] not in excluded]
+    rows = [x for x in rows if x[3] not in excluded]
     if len(rows) < 2:
         return None
     k = max_rows
-    roi = np.zeros((k, 14, 14, 256), np.float32)
-    for r, (feat, _, _) in enumerate(rows):
-        roi[r] = feat
+    row_img = np.zeros((k,), np.int32)
+    row_det = np.zeros((k,), np.int32)
+    for r, (img, det, _, _) in enumerate(rows):
+        row_img[r] = img
+        row_det[r] = det
     t = frames_per_product
     seq_gather = np.zeros((n_products, t), np.int32)
     seq_mask = np.zeros((n_products, t), bool)
@@ -233,7 +237,8 @@ def _best_iou_rows_mdf2(
         shop_row[p] = -1
         seq_mask[p] = False
     return {
-        "roi_features": roi,
+        "row_img": row_img,
+        "row_det": row_det,
         "shop_row": shop_row,
         "seq_gather": seq_gather,
         "seq_mask": seq_mask,
@@ -259,7 +264,7 @@ def train_one_epoch_multidf2(
     count = 0
     for items in logger.log_every(data, print_freq, f"Epoch: [{epoch}]"):
         images, tags, prods = _mf_batch_to_images(items)
-        outs = runner(images)
+        outs, dev = runner.run(images, device_keys=("roi_features",))
         sel = _best_iou_rows_mdf2(
             outs, items, prods, score_thresh, n_products, frames_per_product,
             max_rows,
@@ -267,6 +272,7 @@ def train_one_epoch_multidf2(
         if sel is None:
             continue
         batch = jax.tree.map(jnp.asarray, sel)
+        batch["roi_src"] = dev["roi_features"]
         head_state, losses = head_step(head_state, batch)
         lf = {k: float(v) for k, v in losses.items()}
         _check_finite(lf, f"epoch {epoch} step {count}")

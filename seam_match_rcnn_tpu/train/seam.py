@@ -62,9 +62,14 @@ def merge_head_state(variables, state: HeadState):
 
 @dataclasses.dataclass
 class SelectedRows:
-    """Host-side box selection output (engine.py:130-153), padded to K rows."""
+    """Host-side box selection output (engine.py:130-153), padded to K rows.
 
-    roi_features: np.ndarray  # [K, 14, 14, 256]
+    Rows reference detections by (image, detection) index; the actual RoI
+    features stay on device and are gathered inside the jitted head step.
+    """
+
+    row_img: np.ndarray       # [K] image index of each row
+    row_det: np.ndarray       # [K] detection index within the image
     valid: np.ndarray         # [K]
     types: np.ndarray         # [K] 0 street / 1 shop
     prod: np.ndarray          # [K] product index in [0, P)
@@ -87,13 +92,13 @@ def select_rows_host(
     image keeps only its largest-area box; products whose shop has no box
     are dropped entirely.  Rows are packed into K=max_rows padded slots.
 
-    outputs: per-image dicts with 'scores' [D], 'boxes' [D,4],
-    'roi_features' [D,14,14,256], 'valid' [D] (from the jitted inference).
+    outputs: per-image dicts with 'scores' [D], 'boxes' [D,4], 'valid' [D]
+    (from the jitted inference; roi features stay on device).
     tags: 1 shop / 0 street per image; prod_of_image: product idx per image.
     """
     excluded = set()
     frame_counter: Dict[int, int] = {}
-    rows = []  # (roi, type, prod, img_slot)
+    rows = []  # (img, det, type, prod, img_slot)
     for i, (o, tag, p) in enumerate(zip(outputs, tags, prod_of_image)):
         if p in excluded:
             continue
@@ -114,25 +119,26 @@ def select_rows_host(
                 continue
             slot = p * frames_per_product + f
         for j in keep:
-            rows.append((o["roi_features"][j], tag, p, slot))
+            rows.append((i, int(j), tag, p, slot))
 
     # drop rows of retro-excluded products (street images seen before shop)
-    rows = [r for r in rows if r[2] not in excluded]
-    types = np.asarray([r[1] for r in rows], np.int32)
+    rows = [r for r in rows if r[3] not in excluded]
+    types = np.asarray([r[2] for r in rows], np.int32)
     if len(rows) < 2 or not (types == 0).any() or not (types == 1).any():
         return None  # engine.py:153 skips the step
 
     k = max_rows
     rows = rows[:k]
-    n = len(rows)
-    roi = np.zeros((k, 14, 14, 256), np.float32)
+    row_img = np.zeros((k,), np.int32)
+    row_det = np.zeros((k,), np.int32)
     valid = np.zeros((k,), bool)
     types_p = np.zeros((k,), np.int32)
     prod = np.zeros((k,), np.int32)
     img_slot = np.zeros((k,), np.int32)
     shop_row = np.full((n_products,), -1, np.int32)
-    for r, (feat, tag, p, slot) in enumerate(rows):
-        roi[r] = feat
+    for r, (img, det, tag, p, slot) in enumerate(rows):
+        row_img[r] = img
+        row_det[r] = det
         valid[r] = True
         types_p[r] = tag
         prod[r] = p
@@ -140,9 +146,9 @@ def select_rows_host(
         if tag == 1 and shop_row[p] < 0:
             shop_row[p] = r
     return SelectedRows(
-        roi_features=roi, valid=valid, types=types_p, prod=prod,
-        img_slot=img_slot, shop_row=shop_row, n_products=n_products,
-        frames_per_product=frames_per_product,
+        row_img=row_img, row_det=row_det, valid=valid, types=types_p,
+        prod=prod, img_slot=img_slot, shop_row=shop_row,
+        n_products=n_products, frames_per_product=frames_per_product,
     )
 
 
@@ -172,7 +178,12 @@ def make_seam_head_step(
     ta = TemporalAggregator(n_frames=n_frames)
 
     def loss_fn(params, batch_stats, batch):
-        roi = batch["roi_features"]
+        if "roi_src" in batch:
+            # device-resident roi features: gather the selected (image,
+            # detection) rows in-graph
+            roi = batch["roi_src"][batch["row_img"], batch["row_det"]].astype(jnp.float32)
+        else:
+            roi = batch["roi_features"]
         valid = batch["valid"]
         types = batch["types"]
         prod = batch["prod"]
@@ -268,7 +279,10 @@ def make_mdf2_head_step(tx: optax.GradientTransformation, n_frames: int = 3):
     ta = TemporalAggregator(n_frames=n_frames)
 
     def loss_fn(ta_params, batch_stats, batch):
-        roi = batch["roi_features"]
+        if "roi_src" in batch:
+            roi = batch["roi_src"][batch["row_img"], batch["row_det"]].astype(jnp.float32)
+        else:
+            roi = batch["roi_features"]
         shop_row = batch["shop_row"]
         shop_ok = shop_row >= 0
         shop_idx = jnp.maximum(shop_row, 0)
