@@ -67,6 +67,9 @@ class RoIHeadsConfig:
     # FPN level range used by the RoI pools (featmaps '0'-'3' == P2..P5).
     canonical_scale: float = 224.0
     canonical_level: int = 4
+    # "xla" (gather-based) or "pallas" (patch-DMA kernel); equal semantics
+    # for typical boxes, equal measured speed on the dev chip (see PERF.md).
+    roi_align_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +114,17 @@ class ModelConfig:
     transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
     # Compute dtype for conv/matmul heavy paths; params stay float32.
     compute_dtype: str = "bfloat16"
+
+
+def fast_eval_model_config(**overrides) -> "ModelConfig":
+    """Serving profile: torchvision-default 1000 post-NMS proposals instead
+    of the reference's 4000 (matchrcnn.py:18) — 4× less RoIAlign work in the
+    box branch; accuracy impact to be validated against real data (PERF.md
+    lever 1).  Everything else parity."""
+    return ModelConfig(
+        rpn=RPNConfig(post_nms_top_n_test=1000),
+        **overrides,
+    )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -128,19 +128,25 @@ class MatchRCNN(nn.Module):
         )
         return (obj, regs), (props, scores, valid)
 
-    def box_roi(self, feats, rois):
-        """[B, R, 4] -> [B, R, 7, 7, 256]."""
+    def _roi_align(self, feats, rois, output_size, roi_chunk):
         c = self.cfg.roi_heads
-        return batched_multilevel_roi_align(
-            feats[:4], rois, c.box_roi_output, sampling_ratio=c.sampling_ratio
-        )
+        if c.roi_align_backend == "pallas":
+            from ..ops.pallas_roi_align import pallas_roi_align_batched
 
-    def mask_roi(self, feats, rois, roi_chunk: int = 128):
-        c = self.cfg.roi_heads
+            return pallas_roi_align_batched(
+                feats[:4], rois, output_size, sampling_ratio=c.sampling_ratio
+            ).astype(feats[0].dtype)
         return batched_multilevel_roi_align(
-            feats[:4], rois, c.mask_roi_output,
+            feats[:4], rois, output_size,
             sampling_ratio=c.sampling_ratio, roi_chunk=roi_chunk,
         )
+
+    def box_roi(self, feats, rois):
+        """[B, R, 4] -> [B, R, 7, 7, 256]."""
+        return self._roi_align(feats, rois, self.cfg.roi_heads.box_roi_output, 500)
+
+    def mask_roi(self, feats, rois, roi_chunk: int = 128):
+        return self._roi_align(feats, rois, self.cfg.roi_heads.mask_roi_output, roi_chunk)
 
     def box_branch(self, feats, rois):
         """-> class_logits [B, R, C] f32, deltas [B, R, 4C] f32."""
