@@ -99,10 +99,12 @@ def main(argv=None):
             chunk=tcfg.infer_chunk, with_match=False, with_aggr_features=False,
             with_roi_features=True,
         )
+        from ..data.prefetch import prefetch
+
         head_state = train_one_epoch_multidf2(
             model, variables, head_state, head_step, runner,
-            product_batches(train_ds, tcfg.n_shops, tcfg.frames_per_shop,
-                            seed=tcfg.seed, epoch=epoch),
+            prefetch(product_batches(train_ds, tcfg.n_shops, tcfg.frames_per_shop,
+                                     seed=tcfg.seed, epoch=epoch)),
             epoch, tcfg.n_shops, tcfg.frames_per_shop,
             score_thresh=tcfg.score_thresh, print_freq=tcfg.print_freq,
             writer=writer,

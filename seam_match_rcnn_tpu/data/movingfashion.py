@@ -119,10 +119,13 @@ def product_batches(
     num_shards: int = 1,
     shard: int = 0,
     limit: Optional[int] = None,
+    drop_last: bool = False,
 ) -> Iterator[List[Dict]]:
     """MFBatchSampler semantics (MFDataset.py:151-186): per product emit the
     shop image + frames at sorted random (or uniform/fixed) temporal
-    fractions; batches group ``n_products`` products."""
+    fractions; batches group ``n_products`` products.  drop_last=True keeps
+    batch shapes static for the jitted training step (the reference trains
+    with drop_last=True too, MFDataset.py:127)."""
     rng = random.Random(seed + epoch)
     order = list(range(len(dataset)))
     if shuffle:
@@ -147,5 +150,5 @@ def product_batches(
         if per_batch == n_products:
             yield batch
             batch, per_batch = [], 0
-    if batch:
+    if batch and not drop_last:
         yield batch

@@ -78,6 +78,7 @@ def product_batches(
     num_shards: int = 1,
     shard: int = 0,
     limit: Optional[int] = None,
+    drop_last: bool = False,
 ) -> Iterator[List[Dict]]:
     rng = random.Random(seed + epoch)
     order = list(range(len(dataset)))
@@ -96,5 +97,5 @@ def product_batches(
         if count == n_products:
             yield batch
             batch, count = [], 0
-    if batch:
+    if batch and not drop_last:
         yield batch

@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from seam_match_rcnn_tpu.config import TransformConfig
+from seam_match_rcnn_tpu.models.transform import (
+    batch_images,
+    normalize,
+    resize_boxes_back,
+    resize_image,
+    resize_scale,
+)
+
+
+def test_resize_scale_rule():
+    cfg = TransformConfig()
+    # min side -> 800 when max side stays under 1333
+    assert resize_scale(600, 800, cfg) == pytest.approx(800 / 600)
+    # capped by max side
+    assert resize_scale(400, 1400, cfg) == pytest.approx(1333 / 1400)
+
+
+def test_resize_matches_torch_bilinear():
+    rng = np.random.RandomState(0)
+    img = rng.rand(40, 60, 3).astype(np.float32)
+    cfg = TransformConfig(min_size=96, max_size=160)
+    got = resize_image(img, cfg)
+    scale = resize_scale(40, 60, cfg)
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(img.transpose(2, 0, 1))[None],
+        scale_factor=scale, mode="bilinear", align_corners=False,
+        recompute_scale_factor=True,
+    )[0].numpy().transpose(1, 2, 0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_images_buckets_by_orientation():
+    cfg = TransformConfig(min_size=64, max_size=96)
+    imgs = [
+        np.random.rand(40, 80, 3).astype(np.float32),   # landscape
+        np.random.rand(80, 40, 3).astype(np.float32),   # portrait
+        np.random.rand(50, 70, 3).astype(np.float32),   # landscape
+    ]
+    buckets = batch_images(imgs, cfg)
+    assert len(buckets) == 2
+    sizes = {tuple(b.pixels.shape[1:3]) for b in buckets}
+    assert sizes == {cfg.landscape_canvas, cfg.portrait_canvas}
+    land = next(b for b in buckets if b.pixels.shape[1:3] == cfg.landscape_canvas)
+    assert sorted(land.indices) == [0, 2]
+    # valid sizes recorded; padding area zero
+    for b in buckets:
+        for j in range(len(b.indices)):
+            h, w = b.sizes[j]
+            assert b.pixels[j, h:, :].max() == 0
+            assert b.pixels[j, :, w:].max() == 0
+
+
+def test_normalize_imagenet():
+    cfg = TransformConfig()
+    x = jnp.ones((1, 2, 2, 3)) * 0.5
+    out = np.asarray(normalize(x, cfg))
+    want = (0.5 - np.asarray(cfg.image_mean)) / np.asarray(cfg.image_std)
+    np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-6)
+
+
+def test_resize_boxes_back_ratio():
+    boxes = np.asarray([[10.0, 20.0, 30.0, 40.0]], np.float32)
+    out = resize_boxes_back(boxes, (100, 200), (50, 400))
+    np.testing.assert_allclose(out, [[20.0, 10.0, 60.0, 20.0]])
