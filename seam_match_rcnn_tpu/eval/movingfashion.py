@@ -137,6 +137,9 @@ def evaluate(
                 street["score"].append(float(o["scores"][j]))
                 street["box"].append(o["boxes"][j])
 
+    if not shop_feats or not street["feat"]:
+        print("evaluate: no usable shop/street detections")
+        return 0.0, 0.0, 0.0
     shop_mat = np.stack(shop_feats)
     shop_aggr_mat = np.stack(shop_aggr)
     shop_sources = np.asarray(shop_sources)
@@ -195,15 +198,15 @@ def evaluate(
             dists.append(scores_qg[r])
             dscores.append(st_score[r])
             acc.add("sfmr", rank, source)
+        if not ranks:
+            continue
         all_ranks.extend(ranks)
+        # per-product per-query sfmr hit rate (evaluate_movingfashion.py:333)
         accs_per_product[key] = {
-            "sfmr": np.asarray([int(r < k) for k in cfg.k_thresholds for r in [min(ranks)]]),
+            "sfmr": np.asarray(
+                [[int(r < k) for k in cfg.k_thresholds] for r in ranks]
+            ).sum(0) / cfg.frames_per_product
         }
-        # count per-product sfmr hits like the reference (per query)
-        accs_per_product[key]["sfmr"] = (
-            np.asarray([[int(r < k) for k in cfg.k_thresholds] for r in ranks]).sum(0)
-            / cfg.frames_per_product
-        )
 
         acc.add("product_max", int(np.min(ranks)), source)
         best_rows = np.asarray(best_rows)
