@@ -48,6 +48,29 @@ def score_matrix(
     return np.concatenate(outs, axis=0) if outs else np.zeros((0, shop.shape[0]), np.float32)
 
 
+def score_matrix_sharded(
+    street: np.ndarray, shop: np.ndarray, w: np.ndarray, b: np.ndarray,
+    mesh, axis: str = "model",
+) -> np.ndarray:
+    """Mesh-parallel gallery scoring: queries sharded over ``axis``; each
+    device scores its query shard against the (replicated, small) gallery —
+    zero collectives in the hot loop, results gathered once.  This is the
+    multi-chip layout for production-size galleries (PERF.md lever 4)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q = len(street)
+    n = mesh.shape[axis]
+    pad = (-q) % n
+    street_p = np.pad(np.asarray(street, np.float32), ((0, pad), (0, 0)))
+    xs = jax.device_put(jnp.asarray(street_p), NamedSharding(mesh, P(axis)))
+    ys = jax.device_put(jnp.asarray(shop, jnp.float32), NamedSharding(mesh, P()))
+    out = jax.jit(
+        lambda a, bb: pairwise_match_scores(a, bb, jnp.asarray(w), jnp.asarray(b)),
+        out_shardings=NamedSharding(mesh, P(axis)),
+    )(xs, ys)
+    return np.asarray(out)[:q]
+
+
 def rank_of(scores: np.ndarray, target: int) -> np.ndarray:
     """For each query row, the rank (0-based) of ``target`` when gallery
     entries are sorted by descending score — the quantity the reference

@@ -1,0 +1,53 @@
+"""Full-model forward with the pallas RoIAlign backend (interpret on CPU)
+vs the default XLA backend — same detections and descriptors for
+moderate-aspect boxes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import seam_match_rcnn_tpu.ops.pallas_roi_align as pra
+from seam_match_rcnn_tpu.config import ModelConfig, RPNConfig, RoIHeadsConfig
+from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN, init_model
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pra.pallas_roi_align_batched
+
+    def wrapped(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pra, "pallas_roi_align_batched", wrapped)
+
+
+def test_pallas_backend_matches_xla_forward():
+    kw = dict(
+        rpn=RPNConfig(pre_nms_top_n_test=60, post_nms_top_n_test=80),
+        compute_dtype="float32",
+    )
+    cfg_x = ModelConfig(roi_heads=RoIHeadsConfig(detections_per_img=6), **kw)
+    cfg_p = ModelConfig(
+        roi_heads=RoIHeadsConfig(detections_per_img=6, roi_align_backend="pallas"),
+        **kw,
+    )
+    model_x, variables = init_model(cfg_x, video=True, canvas=(96, 128))
+    model_p = MatchRCNN(cfg=cfg_p, video=True)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 96, 128, 3).astype(np.float32))
+    sizes = jnp.asarray([[96, 128]], jnp.int32)
+    out_x = model_x.apply(variables, images, sizes, method=MatchRCNN.inference)
+    out_p = model_p.apply(variables, images, sizes, method=MatchRCNN.inference)
+
+    np.testing.assert_allclose(
+        np.asarray(out_x["boxes"]), np.asarray(out_p["boxes"]), rtol=1e-3, atol=1e-2
+    )
+    v = np.asarray(out_x["valid"][0])
+    np.testing.assert_allclose(
+        np.asarray(out_x["match_features"][0])[v],
+        np.asarray(out_p["match_features"][0])[v],
+        rtol=2e-2, atol=2e-2,
+    )
