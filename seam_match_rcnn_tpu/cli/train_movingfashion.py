@@ -11,8 +11,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
-
 from ..config import EvalConfig, ModelConfig, SEAMTrainConfig
 from ..ckpt.io import CheckpointManager, restore_checkpoint
 from ..ckpt.torch_convert import load_torch_checkpoint

@@ -12,11 +12,9 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
-from PIL import Image
-
 from .df2 import DeepFashion2Dataset
 
 

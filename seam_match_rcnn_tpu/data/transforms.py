@@ -8,7 +8,7 @@ float arrays in [0, 1] — the layout the canvas batching expects.
 from __future__ import annotations
 
 import random
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

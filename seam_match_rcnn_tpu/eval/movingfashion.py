@@ -27,14 +27,13 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import EvalConfig
-from ..models.match_head import TemporalAggregator
 from .gallery import score_matrix
 from .tracking import build_tracklets, select_tracklet
 

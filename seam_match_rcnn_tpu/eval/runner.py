@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
 from ..models.matchrcnn import MatchRCNN
 from ..models.transform import batch_images, resize_boxes_back
 

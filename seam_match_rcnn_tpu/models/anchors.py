@@ -9,7 +9,7 @@ baked into the jitted program as constants.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

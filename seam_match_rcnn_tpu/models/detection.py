@@ -11,7 +11,7 @@ the video variant at video_matchrcnn.py:247-253).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ scorer's (w, b) so gallery scoring can run outside the model.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -25,7 +25,7 @@ from ..config import ModelConfig
 from ..ops.boxes import box_iou, encode_boxes
 from ..ops.roi_align import batched_multilevel_roi_align
 from .anchors import grid_anchors
-from .detection import Detections, postprocess_detections, prepend_gt
+from .detection import postprocess_detections, prepend_gt
 from .heads import FastRCNNPredictor, MaskHead, MaskPredictor, RPNHead, TwoMLPHead
 from .match_head import MatchPredictor, TemporalAggregator
 from .resnet import BackboneWithFPN

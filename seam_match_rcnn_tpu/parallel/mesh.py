@@ -16,7 +16,7 @@ Collectives ride ICI via XLA; nothing here issues explicit NCCL-style calls.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

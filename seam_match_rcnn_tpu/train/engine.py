@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig
 from ..models.transform import batch_images
 from ..utils.logging import MetricLogger, ScalarWriter
 from . import seam as seam_mod

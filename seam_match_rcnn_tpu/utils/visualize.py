@@ -8,7 +8,7 @@ is only needed when actually plotting.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
