@@ -31,8 +31,11 @@ class InferenceRunner:
         with_match: bool = True,
         with_roi_features: bool = False,
         with_aggr_features: bool = True,
-        donate: bool = False,
+        mesh=None,
     ):
+        """``mesh``: optional jax Mesh — the image chunk is sharded over its
+        'data' axis (multi-chip serving: frames are embarrassingly parallel;
+        chunk should be a multiple of the axis size)."""
         self.model = model
         self.variables = variables
         self.chunk = chunk
@@ -40,6 +43,14 @@ class InferenceRunner:
         self.with_roi = with_roi_features
         self.with_aggr = with_aggr_features
         self.with_match = with_match
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self.variables = jax.device_put(
+                variables, NamedSharding(mesh, P())
+            )
 
         def fwd(variables, images, sizes):
             out = model.apply(
@@ -87,7 +98,11 @@ class InferenceRunner:
                 if pad:
                     pix = np.concatenate([pix, np.zeros((pad,) + pix.shape[1:], pix.dtype)])
                     sz = np.concatenate([sz, np.tile(sz[-1:], (pad, 1))])
-                out = self._fwd(self.variables, jnp.asarray(pix), jnp.asarray(sz))
+                pix_d, sz_d = jnp.asarray(pix), jnp.asarray(sz)
+                if self.mesh is not None:
+                    pix_d = jax.device_put(pix_d, self._batch_sharding)
+                    sz_d = jax.device_put(sz_d, self._batch_sharding)
+                out = self._fwd(self.variables, pix_d, sz_d)
                 for k in device_keys:
                     dev_chunks[k].append(out[k][: e - s])
                 host = jax.tree.map(

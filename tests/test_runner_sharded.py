@@ -1,0 +1,35 @@
+"""InferenceRunner with a data-sharded mesh matches the single-device path."""
+
+import numpy as np
+import pytest
+
+from seam_match_rcnn_tpu.config import ModelConfig, RPNConfig, RoIHeadsConfig, TransformConfig
+from seam_match_rcnn_tpu.eval.runner import InferenceRunner
+from seam_match_rcnn_tpu.models.matchrcnn import init_model
+from seam_match_rcnn_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ModelConfig(
+        rpn=RPNConfig(pre_nms_top_n_test=40, post_nms_top_n_test=48),
+        roi_heads=RoIHeadsConfig(detections_per_img=5),
+        transform=TransformConfig(min_size=64, max_size=96),
+        compute_dtype="float32",
+    )
+    return init_model(cfg, video=True, canvas=(64, 64))
+
+
+def test_sharded_runner_matches_single(tiny):
+    model, variables = tiny
+    rng = np.random.RandomState(0)
+    images = [rng.rand(60, 80, 3).astype(np.float32) for _ in range(8)]
+
+    single = InferenceRunner(model, variables, chunk=8)(images)
+    mesh = make_mesh(data=8)
+    sharded = InferenceRunner(model, variables, chunk=8, mesh=mesh)(images)
+
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(a["valid"], b["valid"])
