@@ -1,0 +1,151 @@
+"""High-level serving API: video-to-shop retrieval in three calls.
+
+The reference has no serving surface — users must stitch together model
+internals and the 400-line eval script.  This wraps the TPU pipeline into
+the product-level operations:
+
+    retr = SeamRetrieval.from_checkpoint("ckpt/seam_mf/final")
+    gallery = retr.build_gallery(shop_images)           # once
+    result = retr.retrieve(video_frames, gallery, k=5)  # per query video
+
+Internally: jitted detector forward (canvas-bucketed), match-head
+self-similarity tracking across frames, SEAM temporal aggregation of the
+best tracklet, and a one-matmul gallery scoring pass — the aggr-desc
+strategy, the reference's headline metric
+(/root/reference/evaluate_movingfashion.py:253-277).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .config import EvalConfig, ModelConfig
+from .eval.gallery import score_matrix
+from .eval.runner import InferenceRunner
+from .eval.tracking import build_tracklets
+from .models.matchrcnn import MatchRCNN, init_model
+
+
+@dataclasses.dataclass
+class Gallery:
+    match_feats: np.ndarray   # [G, 256]
+    aggr_feats: np.ndarray    # [G, 256]
+    keys: List[str]
+
+
+@dataclasses.dataclass
+class RetrievalResult:
+    indices: np.ndarray       # [k] gallery indices, best first
+    scores: np.ndarray        # [k] match probabilities
+    keys: List[str]
+    track_length: int
+
+
+class SeamRetrieval:
+    def __init__(self, model: MatchRCNN, variables, cfg: Optional[EvalConfig] = None,
+                 chunk: int = 8, mesh=None):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg or EvalConfig()
+        self.runner = InferenceRunner(model, variables, chunk=chunk, mesh=mesh)
+        p = variables["params"]
+        self._w = np.asarray(p["match_predictor"]["last"]["kernel"]).T
+        self._b = np.asarray(p["match_predictor"]["last"]["bias"])
+        self._aw = np.asarray(p["temporal_aggregator"]["last"]["kernel"]).T
+        self._ab = np.asarray(p["temporal_aggregator"]["last"]["bias"])
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None, **kw):
+        import os
+
+        from .ckpt.io import restore_checkpoint
+        from .ckpt.torch_convert import load_torch_checkpoint
+
+        model, variables = init_model(cfg or ModelConfig(), video=True)
+        if os.path.isdir(path):
+            payload = restore_checkpoint(path)
+            variables = payload.get("variables", payload)
+        else:
+            variables = load_torch_checkpoint(path, video=True)
+        return cls(model, variables, **kw)
+
+    def _best_box(self, out, by_area=True):
+        keep = np.nonzero((out["scores"] >= self.cfg.score_threshold) & out["valid"])[0]
+        if keep.size == 0:
+            return None
+        if by_area:
+            b = out["boxes"][keep]
+            areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            return int(keep[np.argmax(areas)])
+        return int(keep[np.argmax(out["scores"][keep])])
+
+    def build_gallery(self, shop_images: Sequence[np.ndarray],
+                      keys: Optional[List[str]] = None) -> Gallery:
+        """shop_images: HWC float [0,1] arrays (one per product)."""
+        outs = self.runner(list(shop_images))
+        mf, af, kk = [], [], []
+        for i, o in enumerate(outs):
+            j = self._best_box(o)
+            if j is None:
+                continue
+            mf.append(o["match_features"][j])
+            af.append(o["aggr_features"][j])
+            kk.append(keys[i] if keys else str(i))
+        return Gallery(np.stack(mf), np.stack(af), kk)
+
+    def embed_video(self, frames: Sequence[np.ndarray]) -> Dict[str, np.ndarray]:
+        """Detect garments in the frames, track the dominant garment via
+        match-head self-similarity, and aggregate its per-frame descriptors.
+
+        Returns {'aggr': [256], 'frames': [T, 256] match feats,
+        'track_rows': indices, 'n_boxes': int}.
+        """
+        outs = self.runner(list(frames))
+        feats, aggr, img_of, scores = [], [], [], []
+        for i, o in enumerate(outs):
+            keep = np.nonzero((o["scores"] >= self.cfg.score_threshold) & o["valid"])[0]
+            for j in keep:
+                feats.append(o["match_features"][j])
+                aggr.append(o["aggr_features"][j])
+                img_of.append(i)
+                scores.append(float(o["scores"][j]))
+        if not feats:
+            raise ValueError("no detections in the video frames")
+        feats = np.stack(feats)
+        aggr = np.stack(aggr)
+        img_of = np.asarray(img_of)
+        scores = np.asarray(scores)
+
+        self_sim = score_matrix(feats, feats, self._w, self._b)
+        tracks = build_tracklets(self_sim, scores, img_of, self.cfg.tracking_threshold)
+        # serving has no GT oracle: take the tracklet with the highest summed
+        # detection score (longest/most-confident garment track)
+        best = int(np.argmax([scores[np.asarray(t)].sum() for t in tracks]))
+        rows = np.asarray(tracks[best])
+
+        import jax.numpy as jnp
+
+        seqs = aggr[rows][None]                       # [1, T, 256]
+        mask = np.ones((1, len(rows)), bool)
+        agg = np.asarray(self.model.apply(
+            self.variables, jnp.asarray(seqs), jnp.asarray(mask),
+            method=MatchRCNN.aggregate_sequences,
+        ))[0]
+        return {"aggr": agg, "frames": feats[rows], "track_rows": rows,
+                "n_boxes": len(feats)}
+
+    def retrieve(self, frames: Sequence[np.ndarray], gallery: Gallery,
+                 k: int = 5) -> RetrievalResult:
+        emb = self.embed_video(frames)
+        scores = score_matrix(emb["aggr"][None], gallery.aggr_feats,
+                              self._aw, self._ab)[0]
+        order = np.argsort(scores)[::-1][:k]
+        return RetrievalResult(
+            indices=order,
+            scores=scores[order],
+            keys=[gallery.keys[i] for i in order],
+            track_length=len(emb["track_rows"]),
+        )
