@@ -114,6 +114,8 @@ class ModelConfig:
     transform: TransformConfig = dataclasses.field(default_factory=TransformConfig)
     # Compute dtype for conv/matmul heavy paths; params stay float32.
     compute_dtype: str = "bfloat16"
+    # Rematerialize backbone blocks in the backward pass (memory for FLOPs).
+    remat_backbone: bool = False
 
 
 def fast_eval_model_config(**overrides) -> "ModelConfig":

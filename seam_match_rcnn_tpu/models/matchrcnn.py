@@ -80,7 +80,9 @@ class MatchRCNN(nn.Module):
 
     def setup(self):
         dt = jnp.dtype(self.cfg.compute_dtype)
-        self.backbone = BackboneWithFPN(dtype=dt, name="backbone")
+        self.backbone = BackboneWithFPN(
+            dtype=dt, remat=self.cfg.remat_backbone, name="backbone"
+        )
         self.rpn_head = RPNHead(
             self.cfg.anchors.num_anchors_per_location, dtype=dt, name="rpn_head"
         )

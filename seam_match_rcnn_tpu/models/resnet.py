@@ -61,10 +61,16 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Returns the C2..C5 feature maps (strides 4/8/16/32)."""
+    """Returns the C2..C5 feature maps (strides 4/8/16/32).
+
+    ``remat=True`` rematerializes each bottleneck in the backward pass
+    (jax.checkpoint) — trades ~30% backbone FLOPs for not storing block
+    activations, the standard memory lever for large-canvas training.
+    """
 
     dtype: Any = jnp.float32
     block_counts: Sequence[int] = (3, 4, 6, 3)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -75,12 +81,13 @@ class ResNet50(nn.Module):
         x = nn.relu(FrozenBN(64, self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         outs = []
         features = 64
         for stage, n_blocks in enumerate(self.block_counts):
             stride = 1 if stage == 0 else 2
             for b in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     features,
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
@@ -126,8 +133,9 @@ class FPN(nn.Module):
 
 class BackboneWithFPN(nn.Module):
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        c2, c3, c4, c5 = ResNet50(dtype=self.dtype, name="body")(x)
+        c2, c3, c4, c5 = ResNet50(dtype=self.dtype, remat=self.remat, name="body")(x)
         return FPN(dtype=self.dtype, name="fpn")([c2, c3, c4, c5])

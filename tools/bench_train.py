@@ -1,0 +1,98 @@
+"""Phase-1 training-step throughput benchmark (images/sec/chip).
+
+Usage: python tools/bench_train.py [--batch 4] [--height 800 --width 1344]
+       [--remat] [--iters 4]
+
+Times the full supervised step (forward + all losses + backward + SGD
+update) inside one jit via lax.scan with a scalar fence (see PERF.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--width", type=int, default=1344)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from seam_match_rcnn_tpu.config import ModelConfig
+    import dataclasses
+
+    from seam_match_rcnn_tpu.models.matchrcnn import init_model
+    from seam_match_rcnn_tpu.train.optim import multistep_warmup_schedule, sgd
+    from seam_match_rcnn_tpu.train.steps import create_train_state, make_phase1_step
+
+    cfg = ModelConfig(remat_backbone=args.remat)
+    model, variables = init_model(cfg, video=False, canvas=(256, 320))
+    tx = sgd(multistep_warmup_schedule(0.02, (6, 9), 0.1, 1000, 1000, 1e-3),
+             momentum=0.9)
+    state = create_train_state(variables, tx)
+    step = make_phase1_step(model, tx)
+
+    b, h, w, g = args.batch, args.height, args.width, 8
+    rng = np.random.RandomState(0)
+    x1 = rng.uniform(0, w - 200, (b, g))
+    y1 = rng.uniform(0, h - 200, (b, g))
+    boxes = np.stack([x1, y1, x1 + rng.uniform(40, 200, (b, g)),
+                      y1 + rng.uniform(40, 200, (b, g))], -1).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "sizes": jnp.asarray([[h, min(w, 1333)]] * b, jnp.int32),
+        "gt": {
+            "boxes": jnp.asarray(boxes),
+            "labels": jnp.asarray(rng.randint(1, 14, (b, g))),
+            "valid": jnp.ones((b, g), bool),
+            "pair_ids": jnp.asarray(rng.randint(1, 5, (b, g))),
+            "styles": jnp.ones((b, g), jnp.int32),
+            "source": jnp.asarray([i % 2 for i in range(b)], jnp.int32),
+            "mask_crops": jnp.asarray(
+                (rng.rand(b, g, 56, 56) > 0.4).astype(np.uint8)),
+        },
+    }
+
+    def loop(state, batch, seeds):
+        def body(st, seed):
+            st2, losses = step(st, batch, jax.random.PRNGKey(seed))
+            return st2, losses["loss"]
+        st, losses = jax.lax.scan(body, state, seeds)
+        return st, jnp.sum(losses)
+
+    jloop = jax.jit(loop)
+    seeds = jnp.arange(args.iters)
+    st, total = jloop(state, batch, seeds)
+    float(total)  # compile + warm
+    t0 = time.perf_counter()
+    st, total = jloop(state, batch, seeds)
+    float(total)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "phase1_train_step_throughput",
+        "value": round(b * args.iters / dt, 3),
+        "unit": "images/sec/chip",
+        "step_ms": round(dt / args.iters * 1000, 1),
+        "remat": args.remat,
+    }))
+
+
+if __name__ == "__main__":
+    main()
