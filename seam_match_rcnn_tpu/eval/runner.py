@@ -21,6 +21,40 @@ from ..models.matchrcnn import MatchRCNN
 from ..models.transform import batch_images, resize_boxes_back
 
 
+_FWD_CACHE = {}
+
+
+def _jitted_forward(model, with_masks, with_match, with_roi_features,
+                    with_aggr_features):
+    """One jitted forward per (model config, export flags) — runners are
+    re-created per epoch (frozen-detector weights change), and a fresh
+    jax.jit closure each time would force a retrace."""
+    key = (model.cfg, model.video, with_masks, with_match,
+           with_roi_features, with_aggr_features)
+    if key in _FWD_CACHE:
+        return _FWD_CACHE[key]
+
+    def fwd(variables, images, sizes):
+        out = model.apply(
+            variables, images, sizes, method=MatchRCNN.inference,
+            with_masks=with_masks, with_match=with_match,
+            with_roi_features=True,
+        )
+        if with_aggr_features:
+            b, d = out["boxes"].shape[:2]
+            roi = out["roi_features"].reshape(b * d, 14, 14, -1)
+            aggr = model.apply(
+                variables, roi, method=MatchRCNN.aggregator_descriptors
+            )
+            out["aggr_features"] = aggr.reshape(b, d, -1)
+        if not with_roi_features:
+            del out["roi_features"]
+        return out
+
+    _FWD_CACHE[key] = jax.jit(fwd)
+    return _FWD_CACHE[key]
+
+
 class InferenceRunner:
     def __init__(
         self,
@@ -51,25 +85,9 @@ class InferenceRunner:
             self.variables = jax.device_put(
                 variables, NamedSharding(mesh, P())
             )
-
-        def fwd(variables, images, sizes):
-            out = model.apply(
-                variables, images, sizes, method=MatchRCNN.inference,
-                with_masks=with_masks, with_match=with_match,
-                with_roi_features=True,
-            )
-            if with_aggr_features:
-                b, d = out["boxes"].shape[:2]
-                roi = out["roi_features"].reshape(b * d, 14, 14, -1)
-                aggr = model.apply(
-                    variables, roi, method=MatchRCNN.aggregator_descriptors
-                )
-                out["aggr_features"] = aggr.reshape(b, d, -1)
-            if not with_roi_features:
-                del out["roi_features"]
-            return out
-
-        self._fwd = jax.jit(fwd)
+        self._fwd = _jitted_forward(
+            model, with_masks, with_match, with_roi_features, with_aggr_features
+        )
 
     def __call__(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
         """images: list of HWC float arrays in [0, 1].  Returns one dict per
