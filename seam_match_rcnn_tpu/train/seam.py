@@ -166,6 +166,64 @@ def _group_winners(score, grp, ok, num_groups):
     return jnp.where(winner_valid, winner, 0), winner_valid, seg_max[:num_groups]
 
 
+def build_weak_structures(
+    logits: jnp.ndarray,
+    valid: jnp.ndarray,
+    types: jnp.ndarray,
+    prod: jnp.ndarray,
+    img_slot: jnp.ndarray,
+    shop_row: jnp.ndarray,
+    t_max: int,
+    n_frames: int,
+    match_threshold: float,
+):
+    """Weak-supervision structures shared by MatchLossWeak and the
+    aggregation loss (match_head.py:210-246, 252-360): per street image the
+    argmax-logit box vs its product's shop becomes the weak positive; per
+    product the positive frames form the aggregation sequence (valid with
+    >= n_frames winners and a shop box).
+
+    logits: [K, P, 2] (stop-gradient'd for the selection).  Returns dict:
+      gts [K, P] weak match labels; win_of_row [K]; seq_gather/seq_mask
+      [P, T]; seq_ok [P]; ta_bn_valid [K] (rows the reference feeds to the
+      aggregator's BatchNorm: winners + shops of valid products).
+
+    Invalid groups carry winner index 0; all scatters redirect them out of
+    range (mode="drop") so row 0 is never clobbered.
+    """
+    k_rows = logits.shape[0]
+    p_count = shop_row.shape[0]
+    shop_ok = shop_row >= 0
+    shop_idx = jnp.maximum(shop_row, 0)
+
+    street_ok = valid & (types == 0) & shop_ok[prod]
+    score = jnp.take_along_axis(logits[..., 1], prod[:, None], axis=1)[:, 0]
+    winner, winner_valid, seg_max = _group_winners(
+        score, img_slot, street_ok, p_count * t_max
+    )
+    winner_pos = winner_valid & (seg_max > match_threshold)
+
+    rows = jnp.arange(k_rows)
+    win_rows = jnp.where(winner_pos, winner, k_rows)
+    win_of_row = jnp.zeros((k_rows,), bool).at[win_rows].set(True, mode="drop")
+    gts = jnp.zeros(logits.shape[:2], jnp.int32).at[rows, prod].set(
+        win_of_row.astype(jnp.int32)
+    )
+
+    seq_gather = winner.reshape(p_count, t_max)
+    seq_mask = winner_pos.reshape(p_count, t_max)
+    seq_ok = (jnp.sum(seq_mask, axis=1) >= n_frames) & shop_ok
+
+    shop_rows_ok = jnp.where(seq_ok & shop_ok, shop_idx, k_rows)
+    ta_bn_valid = win_of_row | (
+        jnp.zeros((k_rows,), bool).at[shop_rows_ok].set(True, mode="drop")
+    )
+    return {
+        "gts": gts, "win_of_row": win_of_row, "seq_gather": seq_gather,
+        "seq_mask": seq_mask, "seq_ok": seq_ok, "ta_bn_valid": ta_bn_valid,
+    }
+
+
 def make_seam_head_step(
     tx: optax.GradientTransformation,
     frames_per_product: int,
@@ -206,35 +264,20 @@ def make_seam_head_step(
             mp_vars, desc, desc[shop_idx], method=MatchPredictor.score_pairs
         )  # [K, P, 2]
 
-        street_ok = valid & (types == 0) & shop_ok[prod]
-        score = jnp.take_along_axis(logits[..., 1], prod[:, None], axis=1)[:, 0]
-        num_groups = p_count * t_max
-        winner, winner_valid, seg_max = _group_winners(
-            jax.lax.stop_gradient(score), img_slot, street_ok, num_groups
-        )
-        winner_pos = winner_valid & (seg_max > match_threshold)
-
-        # MatchLossWeak (match_head.py:210-246)
-        rows = jnp.arange(roi.shape[0])
-        win_of_row = jnp.zeros((roi.shape[0],), bool).at[winner].set(
-            winner_pos, mode="drop"
-        )
-        gts = jnp.zeros(logits.shape[:2], jnp.int32).at[rows, prod].set(
-            win_of_row.astype(jnp.int32)
+        ws = build_weak_structures(
+            jax.lax.stop_gradient(logits), valid, types, prod, img_slot,
+            shop_row, t_max, n_frames, match_threshold,
         )
         match_loss = masked_pair_ce(
-            logits, gts,
+            logits, ws["gts"],
             (valid & (types == 0))[:, None] & (valid & (types == 1))[shop_idx][None, :] & shop_ok[None, :],
         )
 
         # --- aggregation loss (match_head.py:252-360) --------------------
-        seq_gather = winner.reshape(p_count, t_max)
-        seq_mask = winner_pos.reshape(p_count, t_max)
-        seq_ok = (jnp.sum(seq_mask, axis=1) >= n_frames) & shop_ok
-
-        ta_bn_valid = win_of_row | (
-            jnp.zeros((roi.shape[0],), bool).at[shop_idx].set(seq_ok, mode="drop")
-        )
+        seq_gather = ws["seq_gather"]
+        seq_mask = ws["seq_mask"]
+        seq_ok = ws["seq_ok"]
+        ta_bn_valid = ws["ta_bn_valid"]
         ta_vars = {"params": params["temporal_aggregator"],
                    "batch_stats": batch_stats["temporal_aggregator"]}
         desc_a, mut_ta = ta.apply(
@@ -291,9 +334,11 @@ def make_mdf2_head_step(tx: optax.GradientTransformation, n_frames: int = 3):
         # AggregationMatchLossDF2 requires >= 3 street views (match_head.py:406)
         seq_ok = jnp.sum(seq_mask, axis=1) >= 3
 
-        used = jnp.zeros((roi.shape[0],), bool)
-        used = used.at[seq_gather.reshape(-1)].set(seq_mask.reshape(-1), mode="drop")
-        used = used | jnp.zeros((roi.shape[0],), bool).at[shop_idx].set(shop_ok, mode="drop")
+        k_rows = roi.shape[0]
+        seq_rows = jnp.where(seq_mask.reshape(-1), seq_gather.reshape(-1), k_rows)
+        used = jnp.zeros((k_rows,), bool).at[seq_rows].set(True, mode="drop")
+        shop_rows = jnp.where(shop_ok, shop_idx, k_rows)
+        used = used | jnp.zeros((k_rows,), bool).at[shop_rows].set(True, mode="drop")
 
         ta_vars = {"params": ta_params, "batch_stats": batch_stats["temporal_aggregator"]}
         desc_a, mut_ta = ta.apply(
