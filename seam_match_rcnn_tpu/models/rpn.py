@@ -72,9 +72,9 @@ def select_proposals(
     def per_image(bx, sc, lv, size):
         bx = box_ops.clip_boxes_to_image(bx, size)
         keep = box_ops.small_box_mask(bx, cfg.min_size)
-        keep &= sc > cfg.score_thresh
-        # torchvision applies sigmoid for scores only after top-k; ordering
-        # is unchanged so we keep raw logits for ranking.
+        # torchvision thresholds the sigmoid probability (default 0.0 keeps
+        # everything); ranking can stay on raw logits (monotonic).
+        keep &= jax.nn.sigmoid(sc) > cfg.score_thresh
         idx, mask = batched_nms_padded(
             bx, sc, lv, cfg.nms_thresh, post_n, valid=keep
         )

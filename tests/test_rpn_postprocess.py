@@ -44,6 +44,20 @@ def test_select_proposals_decodes_deltas():
     np.testing.assert_allclose(np.asarray(props[0, 0]), np.asarray(target[0]), rtol=1e-5)
 
 
+def test_select_proposals_keeps_negative_logits():
+    # torchvision's score_thresh=0.0 keeps proposals with sigmoid<0.5
+    # (negative logits); a raw-logit comparison would wrongly drop them.
+    anchors = jnp.asarray([[4.0, 4.0, 24.0, 24.0], [40.0, 40.0, 60.0, 60.0]])
+    obj = jnp.asarray([[[[-3.0]], [[-1.0]]]]).reshape(1, 2, 1, 1)
+    regs = jnp.zeros((1, 2, 1, 4))
+    cfg = RPNConfig(pre_nms_top_n_test=2, post_nms_top_n_test=2)
+    _, _, valid = select_proposals(
+        [obj], [regs], [anchors], jnp.asarray([[64, 64]], jnp.int32), cfg,
+        training=False,
+    )
+    assert np.asarray(valid[0]).all()
+
+
 def _logits_for(scores_bg_fg):
     # build 2-class-ish logits over C classes from desired softmax scores
     return jnp.log(jnp.asarray(scores_bg_fg))
