@@ -86,7 +86,13 @@ def evaluate(
             keep = np.nonzero((o["scores"] >= cfg.score_threshold) & o["valid"])[0]
             if keep.size == 0:
                 continue
-            iou = box_iou_xywh(_xywh(gt_box), _xywh(o["boxes"][keep]))[0]
+            # each street image's own GT box for the product (the reference
+            # indexes targets[0]'s styles against street GT lists at
+            # evaluate_multiDF2.py:88-92 — a latent bug, not behavior to copy)
+            st_gt = _best_gt_box(tgt, prod["key"])
+            if st_gt is None:
+                continue
+            iou = box_iou_xywh(_xywh(st_gt), _xywh(o["boxes"][keep]))[0]
             j = keep[int(np.argmax(iou))]
             street["feat"].append(o["match_features"][j])
             street["aggr"].append(o["aggr_features"][j])

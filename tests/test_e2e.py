@@ -62,6 +62,31 @@ def test_eval_movingfashion_e2e(tiny_video_model, mf_root, tmp_path):
     assert (tmp_path / "logs_mf" / "metrics.json").exists()
 
 
+def test_eval_multidf2_e2e(tiny_video_model, tmp_path):
+    from seam_match_rcnn_tpu.cli.train_multidf2 import eval_products
+    from seam_match_rcnn_tpu.data import convert as conv
+    from seam_match_rcnn_tpu.data.multidf2 import MultiDeepFashion2Dataset
+    from seam_match_rcnn_tpu.data.synthetic import make_synthetic_df2
+    from seam_match_rcnn_tpu.eval.multidf2 import evaluate as eval_mdf2
+
+    cfg, model, variables = tiny_video_model
+    img_dir, ann_dir = make_synthetic_df2(str(tmp_path), n_products=3,
+                                          views_per_side=2, image_size=(120, 150))
+    ann = str(tmp_path / "annots.json")
+    conv.convert(img_dir, ann_dir, ann)
+    ds = MultiDeepFashion2Dataset(ann, img_dir, filter_onestreet=True)
+
+    runner = InferenceRunner(model, variables, chunk=4)
+    r1, r2, r3 = eval_mdf2(
+        model, variables, eval_products(ds, 2, None),
+        EvalConfig(score_threshold=0.0, frames_per_product=2,
+                   first_n_withvideo=None, infer_chunk=4, tracking_threshold=0.7),
+        runner=runner, out_dir=str(tmp_path / "logs_mdf2"),
+    )
+    for r in (r1, r2, r3):
+        assert 0.0 <= r <= 1.0
+
+
 def test_seam_epoch_e2e(tiny_video_model, mf_root):
     cfg, model, variables = tiny_video_model
     root, path = mf_root
