@@ -56,11 +56,13 @@ def convert(image_dir: str, annos_dir: str, out_path: str,
                 continue
             cat = item["category_id"]
             lo, hi = KEYPOINT_RANGES[cat - 1]
-            kps = [0.0] * (294 * 3)
+            # 294 (x, y, v) rows, the category's slot range filled — nested
+            # like the reference output (DeepFtoCoco.py:95 points.tolist())
+            kps = [[0.0, 0.0, 0.0] for _ in range(294)]
             lms = item.get("landmarks", [])
             for slot, j in enumerate(range(lo - 1, hi)):
                 if 3 * slot + 2 < len(lms):
-                    kps[3 * j : 3 * j + 3] = lms[3 * slot : 3 * slot + 3]
+                    kps[j] = list(lms[3 * slot : 3 * slot + 3])
             x1, y1, x2, y2 = item["bounding_box"]
             style = item.get("style", 0)
             ann_id += 1
@@ -72,14 +74,15 @@ def convert(image_dir: str, annos_dir: str, out_path: str,
                 "area": max((x2 - x1) * (y2 - y1), 0),
                 "segmentation": item.get("segmentation", []),
                 "keypoints": kps,
-                "num_keypoints": sum(1 for v in kps[2::3] if v > 0),
+                "num_keypoints": sum(1 for row in kps if row[2] > 0),
                 "iscrowd": 0,
                 "pair_id": pair_id,
                 "style": style,
                 "source": source,
             })
-            if style != 0:
-                match_desc[str(style)] = pair_id
+            # style-0 entries included like the reference (DeepFtoCoco.py:63);
+            # downstream match maps skip key '0' (DF2Dataset.py:92)
+            match_desc[str(style)] = pair_id
 
         images.append({
             "id": img_id,

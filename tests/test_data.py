@@ -44,7 +44,7 @@ def test_convert_coco_structure(df2_fixture):
     assert "match_desc" in img0 and "source" in img0
     a0 = coco["annotations"][0]
     assert {"pair_id", "style", "source", "segmentation"} <= set(a0)
-    assert len(a0["keypoints"]) == 294 * 3
+    assert len(a0["keypoints"]) == 294 and len(a0["keypoints"][0]) == 3
 
 
 def test_df2_dataset_and_match_maps(df2_fixture):
