@@ -16,3 +16,29 @@ with in-graph gradient psum, and Pallas kernels for the hot ops.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps bare-import cost low for CLIs)."""
+    if name in ("ModelConfig", "TrainConfig", "SEAMTrainConfig", "EvalConfig",
+                "fast_eval_model_config"):
+        from . import config
+
+        return getattr(config, name)
+    if name in ("MatchRCNN", "init_model", "make_model"):
+        from .models import matchrcnn
+
+        return getattr(matchrcnn, name)
+    if name in ("SeamRetrieval", "Gallery", "RetrievalResult"):
+        from . import serving
+
+        return getattr(serving, name)
+    if name == "evaluate_movingfashion":
+        from .eval.movingfashion import evaluate
+
+        return evaluate
+    if name == "evaluate_multidf2":
+        from .eval.multidf2 import evaluate
+
+        return evaluate
+    raise AttributeError(name)
