@@ -199,6 +199,10 @@ class TemporalAggregator(nn.Module):
     d_model: int = 256
     n_frames: int = 3
     dtype: Any = jnp.float32
+    # "xla" | "pallas" | "pallas_interpret": pallas runs the fused NLB +
+    # attention-pooling kernel (ops/pallas_kernels.nlb_aggregate) — one HBM
+    # round-trip for the whole aggregation; interpret mode for CPU tests.
+    nlb_backend: str = "xla"
 
     def setup(self):
         self.trunk = MatchTrunk(dtype=self.dtype)
@@ -218,6 +222,17 @@ class TemporalAggregator(nn.Module):
         seqs: [S, T, C] per-frame descriptors; mask: [S, T] valid frames.
         Returns [S, C] aggregated video descriptors.
         """
+        if self.nlb_backend.startswith("pallas") and not self.is_initializing():
+            from ..ops.pallas_kernels import nlb_aggregate
+
+            params = {
+                "nlb": self.nlb.variables["params"],
+                "attention_scorer": self.attention_scorer.variables["params"],
+            }
+            return nlb_aggregate(
+                seqs, mask, params,
+                interpret=self.nlb_backend == "pallas_interpret",
+            )
         z = self.nlb(seqs, mask)
         att = self.attention_scorer(z)[..., 0]           # [S, T]
         att = jnp.where(mask, att, -1e9)
