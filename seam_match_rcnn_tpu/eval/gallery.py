@@ -30,22 +30,41 @@ def _score_chunk(street, shop, w, b):
     return pairwise_match_scores(street, shop, w, b)
 
 
+def _bucket(n: int) -> int:
+    """Round up to a shape bucket (next power of two, min 8) so repeated
+    per-product calls with ragged sizes reuse compiled programs instead of
+    recompiling for every distinct (Q, G)."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
 def score_matrix(
     street: np.ndarray, shop: np.ndarray, w: np.ndarray, b: np.ndarray,
     chunk: int = 4096,
 ) -> np.ndarray:
     """softmax((street−shop)²·Wᵀ+b)[..,1] for all pairs -> [Q, G] float32.
 
-    Chunked over queries to bound device memory for huge query sets.
+    Chunked over queries to bound device memory; Q/G padded to power-of-two
+    buckets for compile-cache stability.
     """
     street = np.asarray(street, np.float32)
-    shop = jnp.asarray(shop, jnp.float32)
+    shop_np = np.asarray(shop, np.float32)
+    q, g = len(street), len(shop_np)
+    if q == 0:
+        return np.zeros((0, g), np.float32)
+    gp = _bucket(g)
+    shop_j = jnp.asarray(np.pad(shop_np, ((0, gp - g), (0, 0))))
     w = jnp.asarray(w, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     outs = []
-    for i in range(0, len(street), chunk):
-        outs.append(np.asarray(_score_chunk(jnp.asarray(street[i : i + chunk]), shop, w, b)))
-    return np.concatenate(outs, axis=0) if outs else np.zeros((0, shop.shape[0]), np.float32)
+    for i in range(0, q, chunk):
+        part = street[i : i + chunk]
+        qp = _bucket(len(part)) if len(part) < chunk else chunk
+        part = np.pad(part, ((0, qp - len(part)), (0, 0)))
+        outs.append(np.asarray(_score_chunk(jnp.asarray(part), shop_j, w, b))[: min(q - i, chunk)])
+    return np.concatenate(outs, axis=0)[:, :g]
 
 
 def score_matrix_sharded(

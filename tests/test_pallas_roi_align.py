@@ -67,6 +67,14 @@ def test_pallas_roi_align_border_boxes():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_roi_align_stress_random():
+    feats = [jnp.asarray(f) for f in make_pyramid(seed=11, base=(80, 120))]
+    rois = jnp.asarray(moderate_rois(96, img_hw=(320, 480), seed=12, max_aspect=2.2))
+    want = np.asarray(multilevel_roi_align(feats, rois, 7, 2, roi_chunk=32))
+    got = np.asarray(pallas_multilevel_roi_align(feats, rois, 7, 2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_roi_align_bf16_inputs():
     feats = [jnp.asarray(f, jnp.bfloat16) for f in make_pyramid(seed=6)]
     rois = jnp.asarray(moderate_rois(6, seed=7))
