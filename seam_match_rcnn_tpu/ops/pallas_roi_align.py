@@ -7,9 +7,11 @@ hardware:
 
   * each roi DMAs ONE contiguous [PATCH, PATCH_W, C] window of its FPN level
     from HBM into VMEM (the FPN level mapper bounds a roi's footprint at its
-    level to ≈14–28 feature cells per side, so the patch covers every aspect
-    ratio ≤ ~2.8; larger-aspect outliers clamp to the patch edge —
-    documented approximation, exact for typical garment boxes);
+    level to ≈14–28 feature cells per sqrt-area side, so the start-aligned
+    window covers footprints to ~37 cells — aspect ratios ≤ ~1.75 at the
+    very top of the band, everything below;
+    larger-footprint outliers clamp to the patch edge — documented
+    approximation; the XLA gather path stays exact and is the default);
   * bilinear sampling becomes two small MXU matmuls with one-hot
     interpolation matrices built on the VPU:
         tmp = W_y @ patch            [P, PATCH] @ [PATCH, PATCH_W·C]
@@ -70,9 +72,11 @@ def _prep_scalars(rois, level_shapes, spatial_scales, output_size):
     bin_w = roi_w / output_size
     bin_h = roi_h / output_size
 
-    # patch origin: center the roi, clamp into the level
-    y0 = jnp.floor(y1 + roi_h * 0.5 - PATCH * 0.5)
-    x0 = jnp.floor(x1 + roi_w * 0.5 - PATCH_W * 0.5)
+    # patch origin: start-aligned just above the first sample (centering
+    # would waste half the span budget) — covers footprints up to ~37 rows /
+    # ~38 cols after the alignment slack
+    y0 = jnp.floor(y1) - 1.0
+    x0 = jnp.floor(x1) - 1.0
     y0 = jnp.clip(y0, -1.0, jnp.maximum(h - 1.0, 0.0))
     x0 = jnp.clip(x0, -1.0, jnp.maximum(w - 1.0, 0.0))
     # HBM arrays are padded by 1 leading / PATCH(_W) trailing cells, so
