@@ -60,7 +60,10 @@ def main(argv=None):
         args.train_annots, args.root_train,
         transforms=Compose([ToArray(), RandomHorizontalFlip(0.5)]),
     )
-    sampler = DF2PairBatchSampler(dataset, tcfg.batch_size, seed=tcfg.seed)
+    sampler = DF2PairBatchSampler(
+        dataset, tcfg.batch_size, seed=tcfg.seed,
+        num_shards=jax.process_count(), shard=jax.process_index(),
+    )
     steps_per_epoch = max(len(sampler), 1)
 
     model, variables = init_model(cfg, video=False)

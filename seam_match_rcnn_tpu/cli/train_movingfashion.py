@@ -9,6 +9,7 @@ weight cloning, periodic eval tracking best single/avg/aggr top-1.
 from __future__ import annotations
 
 import argparse
+import jax
 import os
 
 from ..config import EvalConfig, ModelConfig, SEAMTrainConfig
@@ -110,7 +111,9 @@ def main(argv=None):
         head_state = train_one_epoch_movingfashion(
             model, variables, head_state, head_step, runner,
             prefetch(product_batches(train_ds, tcfg.n_shops, tcfg.frames_per_shop,
-                                     seed=tcfg.seed, epoch=epoch, drop_last=True)),
+                                     seed=tcfg.seed, epoch=epoch, drop_last=True,
+                                     num_shards=jax.process_count(),
+                                     shard=jax.process_index())),
             epoch, tcfg.n_shops, tcfg.frames_per_shop,
             score_thresh=tcfg.score_thresh, print_freq=tcfg.print_freq,
             writer=writer,

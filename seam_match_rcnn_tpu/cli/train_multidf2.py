@@ -8,6 +8,7 @@ aggregator-only MultiDF2 loss (stuffs/engine.py:202-340).
 from __future__ import annotations
 
 import argparse
+import jax
 import os
 
 from ..config import EvalConfig, ModelConfig, SEAMTrainConfig
@@ -104,7 +105,9 @@ def main(argv=None):
         head_state = train_one_epoch_multidf2(
             model, variables, head_state, head_step, runner,
             prefetch(product_batches(train_ds, tcfg.n_shops, tcfg.frames_per_shop,
-                                     seed=tcfg.seed, epoch=epoch)),
+                                     seed=tcfg.seed, epoch=epoch, drop_last=True,
+                                     num_shards=jax.process_count(),
+                                     shard=jax.process_index())),
             epoch, tcfg.n_shops, tcfg.frames_per_shop,
             score_thresh=tcfg.score_thresh, print_freq=tcfg.print_freq,
             writer=writer,
