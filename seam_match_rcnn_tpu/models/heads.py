@@ -15,16 +15,22 @@ import jax.numpy as jnp
 
 
 class RPNHead(nn.Module):
-    """Shared 3x3 conv + 1x1 objectness/box towers, applied per FPN level."""
+    """Shared 3x3 conv + 1x1 objectness/box towers, applied per FPN level.
+
+    torchvision init: every conv kernel ~ N(0, 0.01), zero bias."""
 
     num_anchors: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
-        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv")
-        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="cls_logits")
-        bbox = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="bbox_pred")
+        init = nn.initializers.normal(stddev=0.01)
+        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                       kernel_init=init, name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      kernel_init=init, name="cls_logits")
+        bbox = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                       kernel_init=init, name="bbox_pred")
         logits, regs = [], []
         for f in feats:
             t = nn.relu(conv(f))
@@ -62,8 +68,13 @@ class FastRCNNPredictor(nn.Module):
         return scores, deltas
 
 
+_HE_FAN_OUT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
 class MaskHead(nn.Module):
-    """4 x (conv3x3 256 + relu) on 14x14 RoI features."""
+    """4 x (conv3x3 256 + relu) on 14x14 RoI features.
+
+    torchvision init: kaiming_normal(fan_out, relu), zero bias."""
 
     dtype: Any = jnp.float32
 
@@ -72,7 +83,7 @@ class MaskHead(nn.Module):
         for i in range(4):
             x = nn.Conv(
                 256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                name=f"mask_fcn{i + 1}",
+                kernel_init=_HE_FAN_OUT, name=f"mask_fcn{i + 1}",
             )(x)
             x = nn.relu(x)
         return x
@@ -87,7 +98,9 @@ class MaskPredictor(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.ConvTranspose(
-            256, (2, 2), strides=(2, 2), dtype=self.dtype, name="conv5_mask"
+            256, (2, 2), strides=(2, 2), dtype=self.dtype,
+            kernel_init=_HE_FAN_OUT, name="conv5_mask"
         )(x)
         x = nn.relu(x)
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="mask_fcn_logits")(x)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       kernel_init=_HE_FAN_OUT, name="mask_fcn_logits")(x)
