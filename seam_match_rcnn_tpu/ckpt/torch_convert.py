@@ -242,3 +242,22 @@ def load_torch_checkpoint(path: str, video: bool = False,
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     return convert_state_dict(ckpt, video=video,
                               clone_match_to_aggregator=clone_match_to_aggregator)
+
+
+def import_imagenet_backbone(variables, resnet_state_dict) -> dict:
+    """Warm-start the backbone body from a plain torchvision ``resnet50``
+    ImageNet state_dict (keys ``conv1.weight``, ``layer1.0.conv1.weight``, …)
+    — the reference's ``pretrained_backbone=True``
+    (/root/reference/models/matchrcnn.py:486).  FPN and heads keep their
+    init.  Returns a new variables tree."""
+    sd = {f"backbone.body.{k}": _np(v) for k, v in resnet_state_dict.items()
+          if not k.startswith("fc.") and not k.endswith("num_batches_tracked")}
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda x: x, variables["params"])
+    params = dict(params)
+    backbone = dict(params["backbone"])
+    backbone["body"] = jax.tree.map(jnp.asarray, _resnet_body(sd))
+    params["backbone"] = backbone
+    return dict(variables, params=params)

@@ -43,6 +43,9 @@ def build_argparser():
     p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--start_ckpt", type=str, default=None)
+    # ImageNet resnet50 state_dict (torch file) — the reference's
+    # pretrained_backbone=True warm-start
+    p.add_argument("--imagenet_backbone", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -67,6 +70,16 @@ def main(argv=None):
     steps_per_epoch = max(len(sampler), 1)
 
     model, variables = init_model(cfg, video=False)
+    if args.imagenet_backbone and os.path.exists(args.imagenet_backbone):
+        import torch
+
+        from ..ckpt.torch_convert import import_imagenet_backbone
+
+        variables = import_imagenet_backbone(
+            variables,
+            torch.load(args.imagenet_backbone, map_location="cpu",
+                       weights_only=False),
+        )
     schedule = multistep_warmup_schedule(
         tcfg.lr, tcfg.milestones, tcfg.gamma, steps_per_epoch,
         tcfg.warmup_iters, tcfg.warmup_factor,

@@ -151,6 +151,36 @@ def test_clone_match_to_aggregator():
     assert (p["temporal_aggregator"]["nlb"]["w_z"]["kernel"] == 0).all()
 
 
+def test_import_imagenet_backbone():
+    # plain torchvision resnet50 state_dict naming (no backbone.body prefix)
+    full = synthetic_state_dict(video=False)
+    resnet_sd = {
+        k[len("backbone.body."):]: v for k, v in full.items()
+        if k.startswith("backbone.body.")
+    }
+    resnet_sd["fc.weight"] = torch.zeros(1000, 2048)
+    resnet_sd["fc.bias"] = torch.zeros(1000)
+
+    from seam_match_rcnn_tpu.config import ModelConfig, RPNConfig, RoIHeadsConfig
+    from seam_match_rcnn_tpu.models.matchrcnn import init_model
+
+    cfg = ModelConfig(
+        rpn=RPNConfig(pre_nms_top_n_test=20, post_nms_top_n_test=30),
+        roi_heads=RoIHeadsConfig(detections_per_img=4),
+        compute_dtype="float32",
+    )
+    _, variables = init_model(cfg, video=False, canvas=(64, 64))
+    new_vars = tc.import_imagenet_backbone(variables, resnet_sd)
+    got = np.asarray(new_vars["params"]["backbone"]["body"]["conv1"]["kernel"])
+    want = resnet_sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want)
+    # FPN untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["backbone"]["fpn"]["inner0"]["kernel"]),
+        np.asarray(variables["params"]["backbone"]["fpn"]["inner0"]["kernel"]),
+    )
+
+
 def test_conv_layout_parity():
     rng = np.random.RandomState(1)
     x = rng.randn(2, 9, 9, 4).astype(np.float32)
