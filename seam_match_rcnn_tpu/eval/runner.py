@@ -21,6 +21,32 @@ from ..models.matchrcnn import MatchRCNN
 from ..models.transform import batch_images, resize_boxes_back
 
 
+def _chunk_plan(n: int, chunk: int, fixed: bool = False):
+    """Greedy (start, size) decomposition: full chunks, then a binary
+    decomposition of the remainder (sizes 8/4/2/1 — exact, no padding).
+    Mixed-orientation batches split into small per-orientation groups;
+    padding every group to the full chunk can double the compute (e.g. 1
+    landscape shop + 10 portrait frames).  ``fixed=True`` pads every group
+    to ``chunk`` instead (required when the batch axis is mesh-sharded)."""
+    plan = []
+    s = 0
+    while n - s >= chunk:
+        plan.append((s, chunk))
+        s += chunk
+    if s < n:
+        if fixed:
+            plan.append((s, chunk))
+        else:
+            size = 8
+            while s < n:
+                if size <= n - s:
+                    plan.append((s, size))
+                    s += size
+                else:
+                    size //= 2
+    return plan
+
+
 _FWD_CACHE = {}
 
 
@@ -108,11 +134,11 @@ class InferenceRunner:
         order: List[int] = []
         for bucket in batch_images(images, cfg):
             n = bucket.pixels.shape[0]
-            for s in range(0, n, self.chunk):
-                e = min(s + self.chunk, n)
+            for s, size in _chunk_plan(n, self.chunk, fixed=self.mesh is not None):
+                e = s + min(size, n - s)
                 pix = bucket.pixels[s:e]
                 sz = bucket.sizes[s:e]
-                pad = self.chunk - (e - s)
+                pad = size - (e - s)
                 if pad:
                     pix = np.concatenate([pix, np.zeros((pad,) + pix.shape[1:], pix.dtype)])
                     sz = np.concatenate([sz, np.tile(sz[-1:], (pad, 1))])
