@@ -16,5 +16,5 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the full-detector train graphs take minutes to
 # compile on this single-core host; cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
