@@ -23,12 +23,17 @@ number when one exists.
 """
 
 import json
+import os
 import time
 
 ASSUMED_PYTORCH_GPU_FPS = 15.0
 BATCH = 11  # reference eval chunk (evaluate_movingfashion.py:30)
 CANVAS = (800, 1344)
 ITERS = 8
+# RoIAlign backend: the patch-DMA Pallas kernel measures ~2x the gather
+# path end-to-end on the dev chip (PERF.md); semantics equal for typical
+# boxes.  Override with SEAM_BENCH_ROI_BACKEND=xla for the exact path.
+ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas")
 
 
 def main():
@@ -42,10 +47,10 @@ def main():
     except Exception:
         pass
 
-    from seam_match_rcnn_tpu.config import ModelConfig
+    from seam_match_rcnn_tpu.config import ModelConfig, RoIHeadsConfig
     from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN, init_model
 
-    cfg = ModelConfig()
+    cfg = ModelConfig(roi_heads=RoIHeadsConfig(roi_align_backend=ROI_BACKEND))
     model, variables = init_model(cfg, video=True, canvas=(256, 320))
 
     def fwd(variables, images, sizes):

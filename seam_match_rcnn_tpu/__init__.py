@@ -21,7 +21,7 @@ __version__ = "0.1.0"
 def __getattr__(name):
     """Lazy top-level API (keeps bare-import cost low for CLIs)."""
     if name in ("ModelConfig", "TrainConfig", "SEAMTrainConfig", "EvalConfig",
-                "fast_eval_model_config"):
+                "fast_eval_model_config", "serving_model_config"):
         from . import config
 
         return getattr(config, name)

@@ -6,7 +6,7 @@ from __future__ import annotations
 import argparse
 import os
 
-from ..config import EvalConfig, ModelConfig
+from ..config import EvalConfig, ModelConfig, serving_model_config
 from ..ckpt.io import restore_checkpoint
 from ..ckpt.torch_convert import load_torch_checkpoint
 from ..data.multidf2 import MultiDeepFashion2Dataset
@@ -23,12 +23,15 @@ def build_argparser():
     p.add_argument("--first_n_withvideo", type=int, default=100)
     p.add_argument("--score_threshold", type=float, default=0.0)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/multiDF2/DF2_epoch031")
+    p.add_argument("--exact_roi_align", action="store_true",
+                   help="use the exact XLA RoIAlign instead of the Pallas "
+                        "serving kernel (slower; see PERF.md)")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    cfg = ModelConfig()
+    cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     model, variables = init_model(cfg, video=True)
     if args.ckpt_path and os.path.exists(args.ckpt_path):
         if os.path.isdir(args.ckpt_path):

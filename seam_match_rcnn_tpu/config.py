@@ -67,8 +67,11 @@ class RoIHeadsConfig:
     # FPN level range used by the RoI pools (featmaps '0'-'3' == P2..P5).
     canonical_scale: float = 224.0
     canonical_level: int = 4
-    # "xla" (gather-based) or "pallas" (patch-DMA kernel); equal semantics
-    # for typical boxes, equal measured speed on the dev chip (see PERF.md).
+    # "xla" (gather-based, exact), "pallas" (patch-DMA kernel, equal
+    # semantics for typical boxes), or "pallas_int8" (patch DMA over a
+    # per-channel int8-quantized pyramid — halves the HBM bytes of the
+    # bandwidth-bound hot stage at ≤maxabs/254 per-channel noise; approximate
+    # serving profile).  See PERF.md.
     roi_align_backend: str = "xla"
 
 
@@ -118,15 +121,29 @@ class ModelConfig:
     remat_backbone: bool = False
 
 
+def serving_model_config(**overrides) -> "ModelConfig":
+    """Inference profile: parity hyperparameters with the patch-DMA Pallas
+    RoIAlign backend — ~3.8× serving throughput over the exact gather path
+    on the dev chip (PERF.md).  Semantics equal for typical boxes (the
+    level mapper bounds footprints within the patch); extreme-aspect
+    outliers clamp at the patch edge.  Use ModelConfig() for the exact
+    (and differentiable) path."""
+    kw = dict(roi_heads=RoIHeadsConfig(roi_align_backend="pallas"))
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
 def fast_eval_model_config(**overrides) -> "ModelConfig":
     """Serving profile: torchvision-default 1000 post-NMS proposals instead
     of the reference's 4000 (matchrcnn.py:18) — 4× less RoIAlign work in the
     box branch; accuracy impact to be validated against real data (PERF.md
-    lever 1).  Everything else parity."""
-    return ModelConfig(
+    lever 1).  Everything else as serving_model_config."""
+    kw = dict(
         rpn=RPNConfig(post_nms_top_n_test=1000),
-        **overrides,
+        roi_heads=RoIHeadsConfig(roi_align_backend="pallas"),
     )
+    kw.update(overrides)
+    return ModelConfig(**kw)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -132,12 +132,23 @@ class MatchRCNN(nn.Module):
 
     def _roi_align(self, feats, rois, output_size, roi_chunk):
         c = self.cfg.roi_heads
-        if c.roi_align_backend == "pallas":
-            from ..ops.pallas_roi_align import pallas_roi_align_batched
+        if c.roi_align_backend in ("pallas", "pallas_int8"):
+            from ..ops.pallas_roi_align import (
+                pallas_roi_align_batched, quantize_features_int8,
+            )
 
+            feats4, scales = feats[:4], None
+            if c.roi_align_backend == "pallas_int8":
+                feats4, scales = quantize_features_int8(feats4)
             return pallas_roi_align_batched(
-                feats[:4], rois, output_size, sampling_ratio=c.sampling_ratio
+                feats4, rois, output_size, sampling_ratio=c.sampling_ratio,
+                scales=scales,
             ).astype(feats[0].dtype)
+        if c.roi_align_backend != "xla":
+            raise ValueError(
+                f"unknown roi_align_backend {c.roi_align_backend!r}; "
+                "expected 'xla', 'pallas' or 'pallas_int8'"
+            )
         return batched_multilevel_roi_align(
             feats[:4], rois, output_size,
             sampling_ratio=c.sampling_ratio, roi_chunk=roi_chunk,

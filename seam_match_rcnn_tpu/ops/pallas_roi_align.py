@@ -11,12 +11,14 @@ hardware:
     window covers footprints to ~37 cells — aspect ratios ≤ ~1.75 at the
     very top of the band, everything below;
     larger-footprint outliers clamp to the patch edge — documented
-    approximation; the XLA gather path stays exact and is the default);
+    approximation; the XLA gather path stays exact and is the default for
+    training, while serving_model_config selects this kernel: ~3.8× serving
+    throughput end-to-end on the dev chip, see PERF.md);
   * bilinear sampling becomes two small MXU matmuls with one-hot
-    interpolation matrices built on the VPU:
-        tmp = W_y @ patch            [P, PATCH] @ [PATCH, PATCH_W·C]
-        out = W_x · tmp              (contracted over the W axis)
-    followed by the sampling_ratio² average pool;
+    interpolation matrices built on the VPU, with the sampling_ratio²
+    average pool folded into the matrices (mean of sub-sample rows):
+        tmp = W_y @ patch            [out, PATCH] @ [PATCH, PATCH_W·C]
+        out = W_x · tmp              (contracted over the W axis);
   * per-roi DMA addresses (image, level, window origin) arrive via scalar
     prefetch; the float sample-grid geometry streams through VMEM.  The
     batch dimension is folded into the grid (one program per roi across the
@@ -118,21 +120,60 @@ def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width):
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (p, width), 1).astype(jnp.float32)
     m = (cols == lo) * (1.0 - lerp) + (cols == hi) * lerp
-    return m * in_range
+    m = m * in_range
+    # Fold the sampling_ratio average pool into the matrix: the pooled output
+    # is the mean of the ratio sub-samples per bin, which is linear, so the
+    # pooled interp matrix is just the mean of each bin's sub-sample rows.
+    # Halves both matmul shapes and removes the pool reshape from the kernel.
+    return m.reshape(out_size, ratio, width).sum(1) * (1.0 / ratio)
 
 
-MINI = 8  # rois per grid program: all MINI patch DMAs issued up-front
+MINI = 8  # max rois per grid program: all MINI patch DMAs issued up-front
           # (latency amortized), computes run back-to-back
 
 
+def _pick_mini(c, itemsize):
+    """Rois per grid program, bounded so the patch scratch stays within the
+    ~16 MB scoped-VMEM limit (f32 x 256ch patches OOM at MINI=8)."""
+    budget = 8 * 1024 * 1024
+    m = max(1, min(MINI, budget // (PATCH * PATCH_W * c * itemsize)))
+    while MINI % m:
+        m -= 1
+    return m
+
+
+def quantize_features_int8(features: Sequence[jnp.ndarray]):
+    """Per-level, per-channel symmetric int8 quantization of an FPN pyramid.
+
+    Returns (q_features, scales[L, C] f32) with f ≈ q * scale.  Halves the
+    HBM bytes of the bandwidth-bound patch DMA (PERF.md: RoIAlign reads
+    ~1 MB/roi at ~80% of the HBM ceiling); the dequant multiply is fused
+    after the pooling matmuls inside the kernel.  Quantization noise is
+    ≤ maxabs/254 per channel — an approximate serving profile
+    (roi_align_backend="pallas_int8"), exact paths remain the default.
+    """
+    qs, scales = [], []
+    for f in features:
+        m = jnp.max(jnp.abs(f.astype(jnp.float32)), axis=tuple(range(f.ndim - 1)))
+        s = jnp.maximum(m, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(f.astype(jnp.float32) / s), -127, 127)
+        qs.append(q.astype(jnp.int8))
+        scales.append(s)
+    return qs, jnp.stack(scales)
+
+
 def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, geom_ref,
-            f0, f1, f2, f3, out_ref, patch, sem,
-            *, output_size, sampling_ratio):
+            f0, f1, f2, f3, *rest,
+            output_size, sampling_ratio, dequant, mini):
+    if dequant:
+        scales_ref, out_ref, patch, sem = rest
+    else:
+        out_ref, patch, sem = rest
     i = pl.program_id(0)
     refs = (f0, f1, f2, f3)
 
-    for k in range(MINI):
-        j = i * MINI + k
+    for k in range(mini):
+        j = i * mini + k
         img = img_ref[j]
         lvl = lvl_ref[j]
         y0 = y0_ref[j]
@@ -146,31 +187,36 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, geom_ref,
                 ).start()
 
     c = patch.shape[-1]
-    pts = output_size * sampling_ratio
-    r = sampling_ratio
-    for k in range(MINI):
+    for k in range(mini):
         pltpu.make_async_copy(
             f0.at[0, pl.ds(0, PATCH), pl.ds(0, PATCH_W), :],
             patch.at[k], sem.at[k],
         ).wait()
+        # pool-folded interp matrices: [out, PATCH] / [out, PATCH_W]
         wy = _interp_matrix(geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
                             geom_ref[k, 5], output_size, sampling_ratio, PATCH)
         wx = _interp_matrix(geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
                             geom_ref[k, 7], output_size, sampling_ratio, PATCH_W)
         pf = patch[k][:].astype(jnp.float32)
+        # The MXU truncates f32 operands to bf16 at default precision; keep
+        # f32 inputs exact (bf16/int8 patches already carry <= bf16 info).
+        prec = (jax.lax.Precision.HIGHEST
+                if jnp.dtype(patch.dtype) == jnp.float32 else None)
         tmp = jax.lax.dot_general(
             wy, pf.reshape(PATCH, PATCH_W * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(pts, PATCH_W, c)
-        # out[x, y, c] = sum_w wx[x, w] * tmp[y, w, c]
-        out = jax.lax.dot_general(
+            preferred_element_type=jnp.float32, precision=prec,
+        ).reshape(output_size, PATCH_W, c)
+        # pooled[x, y, c] = sum_w wx[x, w] * tmp[y, w, c]
+        pooled = jax.lax.dot_general(
             wx, tmp,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # [Px, Py, C]
-        pooled = out.reshape(output_size, r, output_size, r, c).sum((1, 3)) / (r * r)
-        out_ref[k] = jnp.swapaxes(pooled, 0, 1)            # -> [y, x, C]
+            preferred_element_type=jnp.float32, precision=prec,
+        )                                                  # [x, y, C]
+        pooled = jnp.swapaxes(pooled, 0, 1)                # -> [y, x, C]
+        if dequant:
+            pooled = pooled * scales_ref[lvl_ref[i * mini + k]]
+        out_ref[k] = pooled
 
 
 @functools.partial(
@@ -183,14 +229,20 @@ def pallas_roi_align_batched(
     output_size: int,
     sampling_ratio: int = 2,
     spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
-    interpret: bool = False,
+    interpret: bool | str = "auto",
     roi_chunk: int = ROI_CHUNK,
+    scales: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched multi-level RoIAlign.
 
     features: per level [B, H_l, W_l, C]; rois: [B, R, 4] in image coords.
-    Returns [B, R, out, out, C] float32.
+    With int8 features pass ``scales`` [L, C] from quantize_features_int8;
+    the kernel dequantizes after pooling.  Returns [B, R, out, out, C] f32.
+    interpret="auto" compiles on TPU and falls back to interpret mode on
+    other backends (so CPU tests exercise the same code path).
     """
+    if interpret == "auto":
+        interpret = jax.default_backend() != "tpu"
     b, r = rois.shape[:2]
     c = features[0].shape[-1]
     level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
@@ -213,23 +265,38 @@ def pallas_roi_align_batched(
         x0 = jnp.pad(x0, (0, pad))
         fgeom = jnp.pad(fgeom, ((0, pad), (0, 0)))
 
+    dequant = scales is not None
+    mini = _pick_mini(c, jnp.dtype(padded[0].dtype).itemsize)
     kernel = functools.partial(
-        _kernel, output_size=output_size, sampling_ratio=sampling_ratio
+        _kernel, output_size=output_size, sampling_ratio=sampling_ratio,
+        dequant=dequant, mini=mini,
     )
-    assert roi_chunk % MINI == 0
+    assert roi_chunk % mini == 0
+    # Mosaic requires the geom block's sublane dim divisible by 8: pad each
+    # mini-group of geometry rows to 8 so the block stays (8, 8).
+    n_groups = (n + pad) // mini
+    fgeom = fgeom.reshape(n_groups, mini, 8)
+    if mini < 8:
+        fgeom = jnp.pad(fgeom, ((0, 0), (0, 8 - mini), (0, 0)))
+    fgeom = fgeom.reshape(n_groups * 8, 8)
+    scale_specs = []
+    if dequant:
+        scale_specs = [pl.BlockSpec(
+            scales.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        )]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(roi_chunk // MINI,),
+        grid=(roi_chunk // mini,),
         in_specs=[
-            pl.BlockSpec((MINI, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            pl.BlockSpec((8, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4 + scale_specs,
         out_specs=pl.BlockSpec(
-            (MINI, output_size, output_size, c), lambda i, *_: (i, 0, 0, 0),
+            (mini, output_size, output_size, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((MINI, PATCH, PATCH_W, c), padded[0].dtype),
-            pltpu.SemaphoreType.DMA((MINI,)),
+            pltpu.VMEM((mini, PATCH, PATCH_W, c), padded[0].dtype),
+            pltpu.SemaphoreType.DMA((mini,)),
         ],
     )
     call = pl.pallas_call(
@@ -242,13 +309,16 @@ def pallas_roi_align_batched(
 
     n_chunks = (n + pad) // roi_chunk
     chunk = lambda a: a.reshape((n_chunks, roi_chunk) + a.shape[1:])
+    geom_rows = (roi_chunk // mini) * 8
+    geom_chunked = fgeom.reshape(n_chunks, geom_rows, 8)
 
     def body(args):
         im, lv, yy, xx, geom = args
-        return call(im, lv, yy, xx, geom, *padded)
+        extra = (scales,) if dequant else ()
+        return call(im, lv, yy, xx, geom, *padded, *extra)
 
     outs = jax.lax.map(
-        body, (chunk(img_idx), chunk(lvl), chunk(y0), chunk(x0), chunk(fgeom))
+        body, (chunk(img_idx), chunk(lvl), chunk(y0), chunk(x0), geom_chunked)
     )
     out = outs.reshape(n + pad, output_size, output_size, c)[:n]
     return out.reshape(b, r, output_size, output_size, c)
@@ -260,12 +330,14 @@ def pallas_multilevel_roi_align(
     output_size: int,
     sampling_ratio: int = 2,
     spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
-    interpret: bool = False,
+    interpret: bool | str = "auto",
+    scales: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Single-image convenience wrapper: features [H_l, W_l, C], rois [N, 4]."""
     out = pallas_roi_align_batched(
         [f[None] for f in features], rois[None], output_size, sampling_ratio,
         spatial_scales, interpret=interpret,
         roi_chunk=min(ROI_CHUNK, ((max(8, rois.shape[0]) + 7) // 8) * 8),
+        scales=scales,
     )
     return out[0]

@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .config import EvalConfig, ModelConfig
+from .config import EvalConfig, ModelConfig, serving_model_config
 from .eval.gallery import score_matrix
 from .eval.runner import InferenceRunner
 from .eval.tracking import build_tracklets
@@ -64,7 +64,7 @@ class SeamRetrieval:
         from .ckpt.io import restore_checkpoint
         from .ckpt.torch_convert import load_torch_checkpoint
 
-        model, variables = init_model(cfg or ModelConfig(), video=True)
+        model, variables = init_model(cfg or serving_model_config(), video=True)
         if os.path.isdir(path):
             payload = restore_checkpoint(path)
             variables = payload.get("variables", payload)

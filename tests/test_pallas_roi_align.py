@@ -10,7 +10,10 @@ larger footprints clamp to the patch edge
 import numpy as np
 import jax.numpy as jnp
 
-from seam_match_rcnn_tpu.ops.pallas_roi_align import pallas_multilevel_roi_align
+from seam_match_rcnn_tpu.ops.pallas_roi_align import (
+    pallas_multilevel_roi_align,
+    quantize_features_int8,
+)
 from seam_match_rcnn_tpu.ops.roi_align import multilevel_roi_align
 
 
@@ -74,6 +77,32 @@ def test_pallas_roi_align_stress_random():
     want = np.asarray(multilevel_roi_align(feats, rois, 7, 2, roi_chunk=32))
     got = np.asarray(pallas_multilevel_roi_align(feats, rois, 7, 2, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_features_int8_roundtrip():
+    feats = [jnp.asarray(f) for f in make_pyramid(seed=21)]
+    qs, scales = quantize_features_int8(feats)
+    assert scales.shape == (4, feats[0].shape[-1])
+    for lv, (q, f) in enumerate(zip(qs, feats)):
+        assert q.dtype == jnp.int8
+        deq = np.asarray(q, np.float32) * np.asarray(scales)[lv]
+        maxabs = np.abs(np.asarray(f)).max(axis=(0, 1))
+        err = np.abs(deq - np.asarray(f)).max(axis=(0, 1))
+        assert (err <= maxabs / 127.0 * 0.51 + 1e-6).all()
+
+
+def test_pallas_roi_align_int8_close_to_exact():
+    feats = [jnp.asarray(f) for f in make_pyramid(seed=22)]
+    rois = jnp.asarray(moderate_rois(24, seed=23))
+    want = np.asarray(multilevel_roi_align(feats, rois, 7, 2, roi_chunk=8))
+    qs, scales = quantize_features_int8(feats)
+    got = np.asarray(
+        pallas_multilevel_roi_align(qs, rois, 7, 2, interpret=True, scales=scales)
+    )
+    # interpolation of values quantized to ≤ maxabs/254 per-channel error
+    tol = np.abs(np.asarray(scales)).max() * 0.75 + 1e-6
+    np.testing.assert_allclose(got, want, atol=tol)
+    assert np.abs(got - want).max() > 0  # actually quantized, not a no-op
 
 
 def test_pallas_roi_align_bf16_inputs():

@@ -18,6 +18,10 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--width", type=int, default=1344)
+    ap.add_argument("--roi-backend", default="xla",
+                    choices=["xla", "pallas", "pallas_int8"])
+    ap.add_argument("--stages", default=None,
+                    help="comma-separated subset of stages to time")
     args = ap.parse_args()
 
     import jax
@@ -30,12 +34,14 @@ def main():
     except Exception:
         pass
 
-    from seam_match_rcnn_tpu.config import ModelConfig
+    from seam_match_rcnn_tpu.config import ModelConfig, RoIHeadsConfig
     from seam_match_rcnn_tpu.models.detection import postprocess_detections
     from seam_match_rcnn_tpu.models.matchrcnn import init_model
 
     b, h, w = args.batch, args.height, args.width
-    cfg = ModelConfig()
+    cfg = ModelConfig(
+        roi_heads=RoIHeadsConfig(roi_align_backend=args.roi_backend)
+    )
     model, variables = init_model(cfg, video=True, canvas=(256, 320))
     rng = np.random.RandomState(0)
     all_images = jnp.asarray(rng.rand(args.iters, b, h, w, 3).astype(np.float32))
@@ -75,7 +81,10 @@ def main():
 
         return jax.jit(loop)
 
-    for stage in ["backbone", "rpn+nms", "boxbranch", "postprocess", "maskroi", "full"]:
+    stages = ["backbone", "rpn+nms", "boxbranch", "postprocess", "maskroi", "full"]
+    if args.stages:
+        stages = args.stages.split(",")
+    for stage in stages:
         f = stage_fn(stage)
         float(f(all_images))  # compile + warm
         t0 = time.perf_counter()
