@@ -105,6 +105,38 @@ def test_pallas_roi_align_int8_close_to_exact():
     assert np.abs(got - want).max() > 0  # actually quantized, not a no-op
 
 
+def test_pick_mini_respects_vmem_budget():
+    from seam_match_rcnn_tpu.ops.pallas_roi_align import (
+        MINI, PATCH, PATCH_W, _pick_mini,
+    )
+    for c, itemsize in [(256, 4), (256, 2), (256, 1), (8, 4), (1024, 4)]:
+        m = _pick_mini(c, itemsize)
+        assert 1 <= m <= MINI and MINI % m == 0
+        assert m == 1 or m * PATCH * PATCH_W * c * itemsize <= 8 * 1024 * 1024
+    assert _pick_mini(256, 2) == 8   # bf16 serving shape keeps full groups
+    assert _pick_mini(256, 4) == 4   # f32 x 256ch OOMed scoped VMEM at 8
+
+
+def test_pallas_roi_align_f32_256ch_small_mini():
+    # exercises the mini<8 geom-row padding path end-to-end
+    feats = [jnp.asarray(f) for f in make_pyramid(seed=31, c=256)]
+    rois = jnp.asarray(moderate_rois(16, seed=32))
+    want = np.asarray(multilevel_roi_align(feats, rois, 7, 2, roi_chunk=8))
+    got = np.asarray(pallas_multilevel_roi_align(feats, rois, 7, 2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_serving_config_selects_pallas_backend():
+    from seam_match_rcnn_tpu.config import (
+        ModelConfig, fast_eval_model_config, serving_model_config,
+    )
+    assert serving_model_config().roi_heads.roi_align_backend == "pallas"
+    assert fast_eval_model_config().roi_heads.roi_align_backend == "pallas"
+    assert ModelConfig().roi_heads.roi_align_backend == "xla"
+    assert serving_model_config().rpn.post_nms_top_n_test == 4000  # parity
+    assert fast_eval_model_config().rpn.post_nms_top_n_test == 1000
+
+
 def test_pallas_roi_align_bf16_inputs():
     feats = [jnp.asarray(f, jnp.bfloat16) for f in make_pyramid(seed=6)]
     rois = jnp.asarray(moderate_rois(6, seed=7))
