@@ -11,7 +11,8 @@ import argparse
 import jax
 import os
 
-from ..config import EvalConfig, ModelConfig, SEAMTrainConfig
+from ..config import (EvalConfig, ModelConfig, SEAMTrainConfig,
+                      serving_model_config)
 from ..ckpt.io import CheckpointManager, restore_checkpoint
 from ..ckpt.torch_convert import load_torch_checkpoint
 from ..data.multidf2 import MultiDeepFashion2Dataset, product_batches
@@ -50,12 +51,17 @@ def build_argparser():
     p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
     p.add_argument("--start_ckpt", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--exact_roi_align", action="store_true",
+                   help="use the exact XLA RoIAlign for the frozen-detector "
+                        "inference pass (phase-2 gradients never flow through "
+                        "roi_align, so the Pallas serving kernel is the "
+                        "default; see PERF.md)")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    cfg = ModelConfig()
+    cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     tcfg = SEAMTrainConfig(
         lr=args.lr, weight_decay=args.w_decay, milestones=tuple(args.milestones),
         gamma=args.gamma, epochs=args.epochs, n_shops=args.n_shops,
