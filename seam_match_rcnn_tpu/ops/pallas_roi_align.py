@@ -197,13 +197,18 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, geom_ref,
                             geom_ref[k, 5], output_size, sampling_ratio, PATCH)
         wx = _interp_matrix(geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
                             geom_ref[k, 7], output_size, sampling_ratio, PATCH_W)
-        pf = patch[k][:].astype(jnp.float32)
         # The MXU truncates f32 operands to bf16 at default precision; keep
         # f32 inputs exact (bf16/int8 patches already carry <= bf16 info).
-        prec = (jax.lax.Precision.HIGHEST
-                if jnp.dtype(patch.dtype) == jnp.float32 else None)
+        # For bf16 patches feed the MXU directly (casting the ~0.5M-element
+        # patch on the VPU costs more than the matmul); int8 values <= 127
+        # are exact in bf16.
+        if jnp.dtype(patch.dtype) == jnp.float32:
+            pf, wyc, prec = patch[k][:], wy, jax.lax.Precision.HIGHEST
+        else:
+            pf = patch[k][:].astype(jnp.bfloat16)
+            wyc, prec = wy.astype(jnp.bfloat16), None
         tmp = jax.lax.dot_general(
-            wy, pf.reshape(PATCH, PATCH_W * c),
+            wyc, pf.reshape(PATCH, PATCH_W * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ).reshape(output_size, PATCH_W, c)
