@@ -83,6 +83,10 @@ class MatchHeadConfig:
     # (/root/reference/models/match_head.py:304).
     n_frames: int = 3
     match_threshold: float = -10.0
+    # Temporal-aggregation backend: "xla", or "pallas" for the fused
+    # NLB + attention-pooling kernel (ops/pallas_kernels.nlb_aggregate;
+    # interprets automatically off-TPU).
+    nlb_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,7 +132,10 @@ def serving_model_config(**overrides) -> "ModelConfig":
     level mapper bounds footprints within the patch); extreme-aspect
     outliers clamp at the patch edge.  Use ModelConfig() for the exact
     (and differentiable) path."""
-    kw = dict(roi_heads=RoIHeadsConfig(roi_align_backend="pallas"))
+    kw = dict(
+        roi_heads=RoIHeadsConfig(roi_align_backend="pallas"),
+        match=MatchHeadConfig(nlb_backend="pallas"),
+    )
     kw.update(overrides)
     return ModelConfig(**kw)
 
@@ -141,6 +148,7 @@ def fast_eval_model_config(**overrides) -> "ModelConfig":
     kw = dict(
         rpn=RPNConfig(post_nms_top_n_test=1000),
         roi_heads=RoIHeadsConfig(roi_align_backend="pallas"),
+        match=MatchHeadConfig(nlb_backend="pallas"),
     )
     kw.update(overrides)
     return ModelConfig(**kw)

@@ -231,7 +231,8 @@ class TemporalAggregator(nn.Module):
             }
             return nlb_aggregate(
                 seqs, mask, params,
-                interpret=self.nlb_backend == "pallas_interpret",
+                interpret=(self.nlb_backend == "pallas_interpret"
+                           or jax.default_backend() != "tpu"),
             )
         z = self.nlb(seqs, mask)
         att = self.attention_scorer(z)[..., 0]           # [S, T]

@@ -97,7 +97,9 @@ class MatchRCNN(nn.Module):
         self.match_predictor = MatchPredictor(name="match_predictor")
         if self.video:
             self.temporal_aggregator = TemporalAggregator(
-                n_frames=self.cfg.match.n_frames, name="temporal_aggregator"
+                n_frames=self.cfg.match.n_frames,
+                nlb_backend=self.cfg.match.nlb_backend,
+                name="temporal_aggregator",
             )
 
     # ---- building blocks ----------------------------------------------

@@ -124,7 +124,7 @@ def _nlb_kernel(
     att = att - jnp.max(att)
     e = jnp.exp(att) * mask
     att = e / jnp.maximum(jnp.sum(e), 1e-20)
-    out_ref[0, :] = jnp.sum(att * z, axis=0)
+    out_ref[0] = jnp.sum(att * z, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -161,9 +161,12 @@ def nlb_aggregate(
     inter = c // 2
     vspec = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
+    # 3-D output so the Mosaic-blocked trailing dims are (1, c) — a 2-D
+    # (1, c) block over an (S, c) array violates the sublane-divisibility
+    # rule for S not multiple of the block.
     out = pl.pallas_call(
         _nlb_kernel,
-        out_shape=jax.ShapeDtypeStruct((s, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s, 1, c), jnp.float32),
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, tp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -175,7 +178,8 @@ def nlb_aggregate(
             vspec((inter, c)), vspec((1, c)),
             vspec((c, 1)), vspec((1, 1)),
         ],
-        out_specs=pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
-    return out
+    return out[:, 0, :]
