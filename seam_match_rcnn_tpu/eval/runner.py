@@ -51,12 +51,18 @@ _FWD_CACHE = {}
 
 
 def _jitted_forward(model, with_masks, with_match, with_roi_features,
-                    with_aggr_features):
+                    with_aggr_features, mesh=None):
     """One jitted forward per (model config, export flags) — runners are
     re-created per epoch (frozen-detector weights change), and a fresh
-    jax.jit closure each time would force a retrace."""
+    jax.jit closure each time would force a retrace.
+
+    With ``mesh`` the forward is wrapped in shard_map over the 'data' axis
+    (every op in MatchRCNN.inference is per-image independent).  Plain
+    GSPMD auto-partitioning is NOT enough here: pallas_call (the serving
+    RoIAlign/NLB kernels) is an opaque custom call XLA would replicate
+    behind all-gathers instead of sharding."""
     key = (model.cfg, model.video, with_masks, with_match,
-           with_roi_features, with_aggr_features)
+           with_roi_features, with_aggr_features, mesh)
     if key in _FWD_CACHE:
         return _FWD_CACHE[key]
 
@@ -77,6 +83,20 @@ def _jitted_forward(model, with_masks, with_match, with_roi_features,
             del out["roi_features"]
         return out
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
+        kw = dict(mesh=mesh, in_specs=(P(), P("data"), P("data")),
+                  out_specs=P("data"))
+        try:  # disable the varying-ness checker (device-invariant carries
+            # inside NMS/while loops become varying mid-loop): jax>=0.8
+            # spells it check_vma, older versions check_rep.
+            fwd = shard_map(fwd, check_vma=False, **kw)
+        except TypeError:
+            fwd = shard_map(fwd, check_rep=False, **kw)
     _FWD_CACHE[key] = jax.jit(fwd)
     return _FWD_CACHE[key]
 
@@ -112,7 +132,8 @@ class InferenceRunner:
                 variables, NamedSharding(mesh, P())
             )
         self._fwd = _jitted_forward(
-            model, with_masks, with_match, with_roi_features, with_aggr_features
+            model, with_masks, with_match, with_roi_features,
+            with_aggr_features, mesh=mesh,
         )
 
     def __call__(self, images: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:

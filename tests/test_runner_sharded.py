@@ -33,3 +33,28 @@ def test_sharded_runner_matches_single(tiny):
         np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(a["valid"], b["valid"])
+
+
+def test_sharded_runner_pallas_backend(tiny):
+    """pallas_call is not GSPMD-partitionable; the mesh path must shard_map
+    around the kernels — this pins the serving-profile + mesh combination."""
+    model0, variables = tiny
+    from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN
+    import dataclasses
+
+    cfg_p = dataclasses.replace(
+        model0.cfg,
+        roi_heads=dataclasses.replace(
+            model0.cfg.roi_heads, roi_align_backend="pallas"
+        ),
+    )
+    model_p = MatchRCNN(cfg=cfg_p, video=True)
+    rng = np.random.RandomState(1)
+    images = [rng.rand(60, 80, 3).astype(np.float32) for _ in range(8)]
+
+    single = InferenceRunner(model0, variables, chunk=8)(images)
+    mesh = make_mesh(data=8)
+    sharded = InferenceRunner(model_p, variables, chunk=8, mesh=mesh)(images)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(a["valid"], b["valid"])
