@@ -29,8 +29,9 @@ def build_argparser():
     p.add_argument("--noise", type=bool, default=True)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/MovingFashion/MF_epoch031")
     p.add_argument("--exact_roi_align", action="store_true",
-                   help="use the exact XLA RoIAlign instead of the Pallas "
-                        "serving kernel (slower; see PERF.md)")
+                   help="revert to the exact XLA kernels (RoIAlign AND the "
+                        "NLB aggregation) instead of the full Pallas "
+                        "serving profile (slower; see PERF.md)")
     return p
 
 

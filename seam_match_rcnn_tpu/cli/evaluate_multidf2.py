@@ -24,8 +24,9 @@ def build_argparser():
     p.add_argument("--score_threshold", type=float, default=0.0)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/multiDF2/DF2_epoch031")
     p.add_argument("--exact_roi_align", action="store_true",
-                   help="use the exact XLA RoIAlign instead of the Pallas "
-                        "serving kernel (slower; see PERF.md)")
+                   help="revert to the exact XLA kernels (RoIAlign AND the "
+                        "NLB aggregation) instead of the full Pallas "
+                        "serving profile (slower; see PERF.md)")
     return p
 
 

@@ -52,10 +52,10 @@ def build_argparser():
     p.add_argument("--start_ckpt", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--exact_roi_align", action="store_true",
-                   help="use the exact XLA RoIAlign for the frozen-detector "
-                        "inference pass (phase-2 gradients never flow through "
-                        "roi_align, so the Pallas serving kernel is the "
-                        "default; see PERF.md)")
+                   help="revert the frozen-detector inference pass to the exact "
+                        "XLA kernels (RoIAlign AND the NLB aggregation) — "
+                        "phase-2 gradients never flow through them, so the "
+                        "Pallas serving profile is the default; see PERF.md)")
     return p
 
 

@@ -141,17 +141,13 @@ def serving_model_config(**overrides) -> "ModelConfig":
 
 
 def fast_eval_model_config(**overrides) -> "ModelConfig":
-    """Serving profile: torchvision-default 1000 post-NMS proposals instead
-    of the reference's 4000 (matchrcnn.py:18) — 4× less RoIAlign work in the
-    box branch; accuracy impact to be validated against real data (PERF.md
-    lever 1).  Everything else as serving_model_config."""
-    kw = dict(
-        rpn=RPNConfig(post_nms_top_n_test=1000),
-        roi_heads=RoIHeadsConfig(roi_align_backend="pallas"),
-        match=MatchHeadConfig(nlb_backend="pallas"),
-    )
+    """Reduced-work variant of serving_model_config: torchvision-default
+    1000 post-NMS proposals instead of the reference's 4000
+    (matchrcnn.py:18) — 4× less RoIAlign work in the box branch; accuracy
+    impact to be validated against real data (PERF.md lever 1)."""
+    kw = dict(rpn=RPNConfig(post_nms_top_n_test=1000))
     kw.update(overrides)
-    return ModelConfig(**kw)
+    return serving_model_config(**kw)
 
 
 @dataclasses.dataclass(frozen=True)

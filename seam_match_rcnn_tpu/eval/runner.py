@@ -127,6 +127,13 @@ class InferenceRunner:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if chunk % mesh.shape["data"]:
+                raise ValueError(
+                    f"chunk ({chunk}) must be a multiple of the mesh 'data' "
+                    f"axis size ({mesh.shape['data']}): the forward is "
+                    "shard_map-ed over that axis (pallas kernels are not "
+                    "GSPMD-partitionable)"
+                )
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self.variables = jax.device_put(
                 variables, NamedSharding(mesh, P())

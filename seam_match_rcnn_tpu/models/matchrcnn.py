@@ -132,16 +132,25 @@ class MatchRCNN(nn.Module):
         )
         return (obj, regs), (props, scores, valid)
 
-    def _roi_align(self, feats, rois, output_size, roi_chunk):
+    def _quantize_pyramid(self, feats):
+        """Once-per-forward int8 quantization for the pallas_int8 backend —
+        threaded through box/mask roi calls so the full-pyramid pass is not
+        repeated per call site."""
+        if self.cfg.roi_heads.roi_align_backend != "pallas_int8":
+            return None
+        from ..ops.pallas_roi_align import quantize_features_int8
+
+        return quantize_features_int8(feats[:4])
+
+    def _roi_align(self, feats, rois, output_size, roi_chunk, prequant=None):
         c = self.cfg.roi_heads
         if c.roi_align_backend in ("pallas", "pallas_int8"):
-            from ..ops.pallas_roi_align import (
-                pallas_roi_align_batched, quantize_features_int8,
-            )
+            from ..ops.pallas_roi_align import pallas_roi_align_batched
 
             feats4, scales = feats[:4], None
             if c.roi_align_backend == "pallas_int8":
-                feats4, scales = quantize_features_int8(feats4)
+                feats4, scales = (prequant if prequant is not None
+                                  else self._quantize_pyramid(feats))
             return pallas_roi_align_batched(
                 feats4, rois, output_size, sampling_ratio=c.sampling_ratio,
                 scales=scales,
@@ -156,18 +165,20 @@ class MatchRCNN(nn.Module):
             sampling_ratio=c.sampling_ratio, roi_chunk=roi_chunk,
         )
 
-    def box_roi(self, feats, rois):
+    def box_roi(self, feats, rois, prequant=None):
         """[B, R, 4] -> [B, R, 7, 7, 256]."""
-        return self._roi_align(feats, rois, self.cfg.roi_heads.box_roi_output, 500)
+        return self._roi_align(feats, rois, self.cfg.roi_heads.box_roi_output,
+                               500, prequant)
 
-    def mask_roi(self, feats, rois, roi_chunk: int = 128):
-        return self._roi_align(feats, rois, self.cfg.roi_heads.mask_roi_output, roi_chunk)
+    def mask_roi(self, feats, rois, roi_chunk: int = 128, prequant=None):
+        return self._roi_align(feats, rois, self.cfg.roi_heads.mask_roi_output,
+                               roi_chunk, prequant)
 
-    def box_branch(self, feats, rois):
+    def box_branch(self, feats, rois, prequant=None):
         """-> class_logits [B, R, C] f32, deltas [B, R, 4C] f32."""
         b, r = rois.shape[:2]
         s = self.cfg.roi_heads.box_roi_output
-        x = self.box_roi(feats, rois).reshape(b * r, s, s, -1)
+        x = self.box_roi(feats, rois, prequant).reshape(b * r, s, s, -1)
         x = self.box_head(x)
         logits, deltas = self.box_predictor(x)
         c = self.cfg.num_classes
@@ -219,8 +230,9 @@ class MatchRCNN(nn.Module):
         (video_matchrcnn.py:255-262).
         """
         feats = self.features(images)
+        pq = self._quantize_pyramid(feats)
         _, (props, _, pvalid) = self.proposals(feats, image_sizes, training=False)
-        class_logits, box_deltas = self.box_branch(feats, props)
+        class_logits, box_deltas = self.box_branch(feats, props, prequant=pq)
         det = postprocess_detections(
             class_logits, box_deltas, props, pvalid, image_sizes,
             self.cfg.roi_heads,
@@ -237,7 +249,7 @@ class MatchRCNN(nn.Module):
         }
 
         b, d = det.boxes.shape[:2]
-        roi14 = self.mask_roi(feats, det.boxes).astype(jnp.float32)
+        roi14 = self.mask_roi(feats, det.boxes, prequant=pq).astype(jnp.float32)
         if with_roi_features:
             out["roi_features"] = roi14
         if with_masks:
@@ -280,6 +292,7 @@ class MatchRCNN(nn.Module):
         cfg = self.cfg.roi_heads
         b = images.shape[0]
         feats = self.features(images)
+        pq = self._quantize_pyramid(feats)
         (obj, regs), (props, _, pvalid) = self.proposals(
             feats, image_sizes, training=True
         )
@@ -332,7 +345,7 @@ class MatchRCNN(nn.Module):
         s_valid = sample.valid
 
         # --- box branch -------------------------------------------------
-        class_logits, box_deltas = self.box_branch(feats, s_props)
+        class_logits, box_deltas = self.box_branch(feats, s_props, prequant=pq)
         matched_gt = jnp.take_along_axis(gt["boxes"], s_matched[..., None], axis=1)
         reg_targets = encode_boxes(matched_gt, s_props, cfg.bbox_reg_weights)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
@@ -347,7 +360,7 @@ class MatchRCNN(nn.Module):
         m_valid = sample.is_pos[:, :m]   # sampler packs positives first
         m_matched = s_matched[:, :m]
         m_labels = s_labels[:, :m]
-        roi14 = self.mask_roi(feats, m_props)
+        roi14 = self.mask_roi(feats, m_props, prequant=pq)
         mask_logits = self.mask_branch(roi14.reshape(b * m, 14, 14, -1))
         mask_t = jax.vmap(
             lambda crops, gb, p, mi: det_losses.mask_targets_from_crops(

@@ -81,9 +81,14 @@ def main():
 
         return jax.jit(loop)
 
-    stages = ["backbone", "rpn+nms", "boxbranch", "postprocess", "maskroi", "full"]
+    all_stages = ["backbone", "rpn+nms", "boxbranch", "postprocess", "maskroi",
+                  "full"]
+    stages = all_stages
     if args.stages:
         stages = args.stages.split(",")
+        unknown = sorted(set(stages) - set(all_stages))
+        if unknown:
+            ap.error(f"unknown stages {unknown}; choose from {all_stages}")
     for stage in stages:
         f = stage_fn(stage)
         float(f(all_images))  # compile + warm
