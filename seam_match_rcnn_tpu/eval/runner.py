@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.matchrcnn import MatchRCNN
-from ..models.transform import batch_images, resize_boxes_back
+from ..models.transform import (batch_images, device_batch_images,
+                                resize_boxes_back)
 
 
 def _chunk_plan(n: int, chunk: int, fixed: bool = False):
@@ -112,10 +113,17 @@ class InferenceRunner:
         with_roi_features: bool = False,
         with_aggr_features: bool = True,
         mesh=None,
+        ingest: str = "host",
     ):
         """``mesh``: optional jax Mesh — the image chunk is sharded over its
         'data' axis (multi-chip serving: frames are embarrassingly parallel;
-        chunk should be a multiple of the axis size)."""
+        chunk should be a multiple of the axis size).
+
+        ``ingest``: "host" resizes with cv2 before upload (reference-parity
+        path); "device" uploads raw frames and runs the bilinear resize +
+        canvas placement fused on the TPU (models/transform.device_batch_
+        images — one compiled program per source geometry; host threads only
+        decode)."""
         self.model = model
         self.variables = variables
         self.chunk = chunk
@@ -123,6 +131,9 @@ class InferenceRunner:
         self.with_roi = with_roi_features
         self.with_aggr = with_aggr_features
         self.with_match = with_match
+        if ingest not in ("host", "device"):
+            raise ValueError(f"unknown ingest {ingest!r}: 'host' or 'device'")
+        self.ingest = ingest
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -157,10 +168,11 @@ class InferenceRunner:
         reference's ``output = model(images); roi_features.append(...)``
         pattern (engine.py:113-144)."""
         cfg = self.model.cfg.transform
+        batcher = device_batch_images if self.ingest == "device" else batch_images
         results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
         dev_chunks = {k: [] for k in device_keys}
         order: List[int] = []
-        for bucket in batch_images(images, cfg):
+        for bucket in batcher(images, cfg):
             n = bucket.pixels.shape[0]
             for s, size in _chunk_plan(n, self.chunk, fixed=self.mesh is not None):
                 e = s + min(size, n - s)
@@ -168,7 +180,9 @@ class InferenceRunner:
                 sz = bucket.sizes[s:e]
                 pad = size - (e - s)
                 if pad:
-                    pix = np.concatenate([pix, np.zeros((pad,) + pix.shape[1:], pix.dtype)])
+                    xp = jnp if isinstance(pix, jax.Array) else np
+                    pix = xp.concatenate(
+                        [pix, xp.zeros((pad,) + pix.shape[1:], pix.dtype)])
                     sz = np.concatenate([sz, np.tile(sz[-1:], (pad, 1))])
                 pix_d, sz_d = jnp.asarray(pix), jnp.asarray(sz)
                 if self.mesh is not None:

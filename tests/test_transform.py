@@ -71,3 +71,39 @@ def test_resize_boxes_back_ratio():
     boxes = np.asarray([[10.0, 20.0, 30.0, 40.0]], np.float32)
     out = resize_boxes_back(boxes, (100, 200), (50, 400))
     np.testing.assert_allclose(out, [[20.0, 10.0, 60.0, 20.0]])
+
+
+def test_device_ingest_matches_host_resize():
+    """device_batch_images (jax.image bilinear resize on device) matches the
+    cv2 host path pixel-for-pixel (both half-pixel bilinear, antialias off),
+    and preserves the ImageBatch contract per image."""
+    import numpy as np
+    from seam_match_rcnn_tpu.config import TransformConfig
+    from seam_match_rcnn_tpu.models.transform import (
+        batch_images, device_batch_images,
+    )
+
+    cfg = TransformConfig(min_size=64, max_size=96)
+    rng = np.random.RandomState(0)
+    imgs = [rng.rand(120, 90, 3).astype(np.float32) for _ in range(3)] + \
+           [rng.rand(60, 100, 3).astype(np.float32) for _ in range(2)] + \
+           [(rng.rand(80, 120, 3) * 255).astype(np.uint8)]
+
+    def per_image(batches, as_float):
+        o = {}
+        for b in batches:
+            for j, i in enumerate(b.indices):
+                o[i] = (np.asarray(b.pixels[j]), tuple(b.sizes[j]),
+                        tuple(b.orig_sizes[j]))
+        return o
+
+    host = per_image(batch_images(
+        [i.astype(np.float32) / 255.0 if i.dtype == np.uint8 else i
+         for i in imgs], cfg), True)
+    dev = per_image(device_batch_images(imgs, cfg), True)
+    for i in range(len(imgs)):
+        ph, sh, oh = host[i]
+        pd, sd, od = dev[i]
+        assert sh == sd and oh == od
+        assert ph.shape == pd.shape
+        np.testing.assert_allclose(pd, ph, atol=3e-3 if imgs[i].dtype == np.uint8 else 1e-5)
