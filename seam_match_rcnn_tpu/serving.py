@@ -46,11 +46,12 @@ class RetrievalResult:
 
 class SeamRetrieval:
     def __init__(self, model: MatchRCNN, variables, cfg: Optional[EvalConfig] = None,
-                 chunk: int = 8, mesh=None):
+                 chunk: int = 8, mesh=None, ingest: str = "host"):
         self.model = model
         self.variables = variables
         self.cfg = cfg or EvalConfig()
-        self.runner = InferenceRunner(model, variables, chunk=chunk, mesh=mesh)
+        self.runner = InferenceRunner(model, variables, chunk=chunk, mesh=mesh,
+                                      ingest=ingest)
         p = variables["params"]
         self._w = np.asarray(p["match_predictor"]["last"]["kernel"]).T
         self._b = np.asarray(p["match_predictor"]["last"]["bias"])
