@@ -51,3 +51,36 @@ def test_pallas_backend_matches_xla_forward():
         np.asarray(out_p["match_features"][0])[v],
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_pallas_int8_backend_forward_close():
+    """pallas_int8 (per-channel int8 pyramid, once-per-forward quantization
+    threaded through box+mask roi calls) stays close to the exact forward."""
+    kw = dict(
+        rpn=RPNConfig(pre_nms_top_n_test=60, post_nms_top_n_test=80),
+        compute_dtype="float32",
+    )
+    cfg_x = ModelConfig(roi_heads=RoIHeadsConfig(detections_per_img=6), **kw)
+    cfg_q = ModelConfig(
+        roi_heads=RoIHeadsConfig(detections_per_img=6,
+                                 roi_align_backend="pallas_int8"),
+        **kw,
+    )
+    model_x, variables = init_model(cfg_x, video=True, canvas=(96, 128))
+    model_q = MatchRCNN(cfg=cfg_q, video=True)
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(1, 96, 128, 3).astype(np.float32))
+    sizes = jnp.asarray([[96, 128]], jnp.int32)
+    out_x = model_x.apply(variables, images, sizes, method=MatchRCNN.inference)
+    out_q = model_q.apply(variables, images, sizes, method=MatchRCNN.inference)
+    np.testing.assert_allclose(
+        np.asarray(out_x["scores"]), np.asarray(out_q["scores"]),
+        rtol=5e-2, atol=5e-2,
+    )
+    v = np.asarray(out_x["valid"][0])
+    np.testing.assert_allclose(
+        np.asarray(out_x["match_features"][0])[v],
+        np.asarray(out_q["match_features"][0])[v],
+        rtol=1e-1, atol=1e-1,
+    )
