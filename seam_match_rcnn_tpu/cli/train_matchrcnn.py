@@ -16,7 +16,7 @@ import os
 
 import jax
 
-from ..config import ModelConfig, TrainConfig
+from ..config import ModelConfig, TrainConfig, serving_model_config
 from ..data.df2 import DF2PairBatchSampler, DeepFashion2Dataset
 from ..data.transforms import Compose, RandomHorizontalFlip, ToArray
 from ..ckpt.io import CheckpointManager, restore_checkpoint
@@ -47,12 +47,18 @@ def build_argparser():
     # pretrained_backbone=True warm-start
     p.add_argument("--imagenet_backbone", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--exact_roi_align", action="store_true",
+                   help="use the exact XLA RoIAlign forward instead of the "
+                        "Pallas kernel (the Pallas path is differentiable: "
+                        "exact adjoint backward, 1.36x step speedup; its "
+                        "forward approximates only extreme-aspect outlier "
+                        "boxes — see PERF.md)")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    cfg = ModelConfig()
+    cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     tcfg = TrainConfig(
         lr=args.lr, momentum=args.momentum, milestones=tuple(args.milestones),
         gamma=args.gamma, epochs=args.epochs, batch_size=args.batch_size,

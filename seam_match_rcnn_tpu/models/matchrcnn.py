@@ -144,13 +144,18 @@ class MatchRCNN(nn.Module):
 
     def _roi_align(self, feats, rois, output_size, roi_chunk, prequant=None):
         c = self.cfg.roi_heads
-        if c.roi_align_backend in ("pallas", "pallas_int8"):
+        if c.roi_align_backend == "pallas":
+            # differentiable: pallas forward, exact XLA adjoint backward
+            from ..ops.pallas_roi_align import pallas_roi_align_trainable
+
+            return pallas_roi_align_trainable(
+                tuple(feats[:4]), rois, output_size, c.sampling_ratio
+            ).astype(feats[0].dtype)
+        if c.roi_align_backend == "pallas_int8":
             from ..ops.pallas_roi_align import pallas_roi_align_batched
 
-            feats4, scales = feats[:4], None
-            if c.roi_align_backend == "pallas_int8":
-                feats4, scales = (prequant if prequant is not None
-                                  else self._quantize_pyramid(feats))
+            feats4, scales = (prequant if prequant is not None
+                              else self._quantize_pyramid(feats))
             return pallas_roi_align_batched(
                 feats4, rois, output_size, sampling_ratio=c.sampling_ratio,
                 scales=scales,

@@ -329,6 +329,46 @@ def pallas_roi_align_batched(
     return out.reshape(b, r, output_size, output_size, c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_roi_align_trainable(features, rois, output_size, sampling_ratio):
+    """Differentiable wrapper: Pallas patch-DMA forward + the EXACT adjoint
+    of the XLA gather implementation as backward.  RoIAlign is linear in
+    ``features`` for fixed rois, so its vjp is a fixed transpose
+    (scatter-add) independent of the forward's values —
+    ``jax.linear_transpose`` of the exact path computes it without running
+    the forward.  Gradients therefore match the exact kernel everywhere the
+    two forwards agree (all footprints within the patch window).  No grad
+    w.r.t. rois, like the detached proposals of the reference pipeline.
+
+    features: TUPLE of per-level [B, H, W, C]; rois [B, R, 4].
+    """
+    return pallas_roi_align_batched(
+        list(features), rois, output_size, sampling_ratio
+    )
+
+
+def _trainable_fwd(features, rois, output_size, sampling_ratio):
+    out = pallas_roi_align_trainable(features, rois, output_size, sampling_ratio)
+    return out, (features, rois)
+
+
+def _trainable_bwd(output_size, sampling_ratio, res, g):
+    from .roi_align import multilevel_roi_align_adjoint
+
+    features, rois = res
+    level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
+    adj = jax.vmap(
+        lambda gi, ri: multilevel_roi_align_adjoint(
+            gi, level_shapes, ri, output_size, sampling_ratio
+        )
+    )(g, rois)
+    gfeats = tuple(a.astype(f.dtype) for a, f in zip(adj, features))
+    return gfeats, jnp.zeros_like(rois)
+
+
+pallas_roi_align_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
 def pallas_multilevel_roi_align(
     features: Sequence[jnp.ndarray],
     rois: jnp.ndarray,

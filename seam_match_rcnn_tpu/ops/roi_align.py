@@ -177,3 +177,107 @@ def batched_multilevel_roi_align(
     -> [B, R, out, out, C]."""
     fn = lambda feats, r: multilevel_roi_align(feats, r, output_size, **kwargs)
     return jax.vmap(fn)(tuple(features), rois)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("level_shapes", "output_size", "sampling_ratio",
+                     "roi_chunk"),
+)
+def multilevel_roi_align_adjoint(
+    g: jnp.ndarray,
+    level_shapes: Tuple[Tuple[int, int], ...],
+    rois: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    roi_chunk: int = 128,
+) -> Tuple[jnp.ndarray, ...]:
+    """Exact adjoint of ``multilevel_roi_align`` w.r.t. ``features``.
+
+    RoIAlign is linear in the features, so its vjp is a fixed scatter-add of
+    bilinear-weighted cotangents — computed here directly from the same
+    index/weight rule as the forward, WITHOUT re-running the gather forward
+    (jax.vjp of the forward would).  Used as the backward of the Pallas
+    serving kernel (ops/pallas_roi_align.pallas_roi_align_trainable).
+
+    g: [N, out, out, C] cotangent; returns per-level [H_l, W_l, C] grads.
+    """
+    num_levels = len(level_shapes)
+    c = g.shape[-1]
+    heights = jnp.array([s[0] for s in level_shapes], dtype=jnp.int32)
+    widths = jnp.array([s[1] for s in level_shapes], dtype=jnp.int32)
+    sizes = [h * w for h, w in level_shapes]
+    offsets = jnp.array(
+        [sum(sizes[:i]) for i in range(num_levels)], dtype=jnp.int32
+    )
+    scales = jnp.array(spatial_scales, dtype=jnp.float32)
+    total = sum(sizes)
+    zero_row = total  # same harmless slot as the forward's padded table
+
+    n = rois.shape[0]
+    pad = (-n) % roi_chunk
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    g_p = jnp.pad(g.astype(jnp.float32),
+                  ((0, pad), (0, 0), (0, 0), (0, 0)))
+    levels = fpn_level_indices(
+        rois_p, num_levels, canonical_scale, canonical_level
+    )
+
+    r = sampling_ratio
+
+    def chunk_body(table_grad, chunk):
+        boxes, lvl, gc = chunk
+        scale = scales[lvl]
+        h = heights[lvl]
+        w = widths[lvl]
+        off = offsets[lvl]
+
+        x1 = boxes[:, 0] * scale
+        y1 = boxes[:, 1] * scale
+        roi_w = jnp.maximum(boxes[:, 2] * scale - x1, 1.0)
+        roi_h = jnp.maximum(boxes[:, 3] * scale - y1, 1.0)
+        bin_w = roi_w / output_size
+        bin_h = roi_h / output_size
+
+        ys = _sample_axis(y1, bin_h, output_size, r, h)   # [B, P]
+        xs = _sample_axis(x1, bin_w, output_size, r, w)
+        ylo, yhi, wylo, wyhi, yin = _bilinear_params(ys, h[:, None])
+        xlo, xhi, wxlo, wxhi, xin = _bilinear_params(xs, w[:, None])
+        valid = yin[:, :, None] & xin[:, None, :]          # [B, P, P]
+
+        # per-sample cotangent: each bin's grad split evenly over its r*r
+        # samples (the forward's mean pool)
+        gs = jnp.repeat(jnp.repeat(gc, r, axis=1), r, axis=2) / (r * r)
+
+        b = boxes.shape[0]
+        p = output_size * r
+        for yidx, wy in ((ylo, wylo), (yhi, wyhi)):
+            for xidx, wx in ((xlo, wxlo), (xhi, wxhi)):
+                flat = (off[:, None, None] + yidx[:, :, None] * w[:, None, None]
+                        + xidx[:, None, :])
+                flat = jnp.where(valid, flat, zero_row)
+                wgt = (wy[:, :, None] * wx[:, None, :])[..., None]
+                table_grad = table_grad.at[flat.reshape(b * p * p)].add(
+                    (gs * wgt).reshape(b * p * p, c)
+                )
+        return table_grad, None
+
+    table_grad = jnp.zeros((total + 1, c), jnp.float32)
+    table_grad, _ = jax.lax.scan(
+        chunk_body,
+        table_grad,
+        (
+            rois_p.reshape(-1, roi_chunk, 4),
+            levels.reshape(-1, roi_chunk),
+            g_p.reshape(-1, roi_chunk, output_size, output_size, c),
+        ),
+    )
+    outs = []
+    start = 0
+    for (h, w), size in zip(level_shapes, sizes):
+        outs.append(table_grad[start:start + size].reshape(h, w, c))
+        start += size
+    return tuple(outs)

@@ -145,3 +145,33 @@ def test_pallas_roi_align_bf16_inputs():
     ).astype(np.float32)
     got = np.asarray(pallas_multilevel_roi_align(feats, rois, 7, 2, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_trainable_grads_match_exact():
+    """pallas_roi_align_trainable: forward equals the exact path (moderate
+    boxes) and its custom backward IS the exact path's adjoint."""
+    import jax
+    from seam_match_rcnn_tpu.ops.pallas_roi_align import (
+        pallas_roi_align_trainable,
+    )
+    from seam_match_rcnn_tpu.ops.roi_align import batched_multilevel_roi_align
+
+    feats = tuple(jnp.asarray(f)[None] for f in make_pyramid(seed=41))
+    rois = jnp.asarray(moderate_rois(12, seed=42))[None]
+
+    def loss_p(fs):
+        out = pallas_roi_align_trainable(fs, rois, 7, 2)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_x(fs):
+        out = batched_multilevel_roi_align(
+            list(fs), rois, 7, sampling_ratio=2
+        ).astype(jnp.float32)
+        return jnp.sum(jnp.sin(out))
+
+    lp, gp = jax.value_and_grad(loss_p)(feats)
+    lx, gx = jax.value_and_grad(loss_x)(feats)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

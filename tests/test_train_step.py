@@ -118,3 +118,39 @@ def test_schedule_warmup_and_milestones():
     assert float(sched(15)) == pytest.approx(1.0)   # epoch 1, no warmup
     assert float(sched(25)) == pytest.approx(0.1)   # epoch 2 after milestone
     assert float(sched(45)) == pytest.approx(0.01)  # epoch 4
+
+
+def test_phase1_step_pallas_backend_trains():
+    """Phase-1 step with the differentiable Pallas RoIAlign (custom_vjp:
+    pallas forward + explicit exact adjoint backward) — finite losses and a
+    real parameter update, matching the xla-backend step closely."""
+    import dataclasses
+
+    cfg_x = tiny_cfg()
+    cfg_p = dataclasses.replace(
+        cfg_x,
+        roi_heads=dataclasses.replace(
+            cfg_x.roi_heads, roi_align_backend="pallas"
+        ),
+    )
+    model_x, variables = init_model(cfg_x, video=False, canvas=(64, 64))
+    model_p = MatchRCNN(cfg=cfg_p, video=False)
+    tx = sgd(multistep_warmup_schedule(0.01, (6,), 0.1, 10, 10, 0.1),
+             momentum=0.9)
+    batch = make_batch(2)
+
+    losses = {}
+    for name, model in [("xla", model_x), ("pallas", model_p)]:
+        state = create_train_state(variables, tx)
+        step = make_phase1_step(model, tx)
+        st2, out = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(out["loss"]))
+        d = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.sum(jnp.abs(x[0] - x[1]))),
+            jax.tree_util.tree_map(lambda a, b: (a, b), st2.params,
+                                   state.params),
+            0.0,
+        )
+        assert d > 0.0  # parameters actually moved
+        losses[name] = float(out["loss"])
+    assert abs(losses["xla"] - losses["pallas"]) < 0.05 * abs(losses["xla"]) + 1e-3
