@@ -47,6 +47,13 @@ PATCH = 40      # patch rows (H; untiled dim, no alignment constraint)
 PATCH_W = 48    # patch cols: 40 + 8 slack so the HBM slice start can be
                 # 8-aligned (Mosaic requires tiled-dim DMA offsets divisible
                 # by the sublane tiling)
+ROWS0 = 24      # rows in the unconditional DMA piece; rows [ROWS0, PATCH)
+                # transfer only when the roi's vertical footprint needs them
+                # (exact: the interpolation matrix is zero past the footprint,
+                # and stale scratch rows are finite feature values, so
+                # 0-weight x stale contributes exactly 0).  ~55% of serving
+                # rois skip the tail -> ~20% fewer bytes on a DMA-byte-bound
+                # kernel (PERF.md).
 ROI_CHUNK = 2048  # rois per pallas_call (bounds the SMEM prefetch arrays)
 
 
@@ -96,7 +103,14 @@ def _prep_scalars(rois, level_shapes, spatial_scales, output_size):
         ],
         axis=1,
     ).astype(jnp.float32)
-    return lvl.astype(jnp.int32), y0i, x0p, fgeom
+    # Last patch row the sample grid can touch: the max sample coordinate is
+    # start + out*bin_h (roi bottom edge); bilinear reads floor(c)+1, border
+    # clamping only lowers c.  +2 covers the floor+1 and the ceil.
+    nrows = jnp.clip(
+        jnp.ceil(y1 - y0 + output_size * bin_h).astype(jnp.int32) + 2,
+        1, PATCH,
+    )
+    return lvl.astype(jnp.int32), y0i, x0p, nrows, fgeom
 
 
 def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width):
@@ -162,15 +176,16 @@ def quantize_features_int8(features: Sequence[jnp.ndarray]):
     return qs, jnp.stack(scales)
 
 
-def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, geom_ref,
+def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
             f0, f1, f2, f3, *rest,
             output_size, sampling_ratio, dequant, mini):
     if dequant:
-        scales_ref, out_ref, patch, sem = rest
+        scales_ref, out_ref, patch, sem, sem2 = rest
     else:
-        out_ref, patch, sem = rest
+        out_ref, patch, sem, sem2 = rest
     i = pl.program_id(0)
     refs = (f0, f1, f2, f3)
+    tail = PATCH - ROWS0
 
     for k in range(mini):
         j = i * mini + k
@@ -178,50 +193,76 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, geom_ref,
         lvl = lvl_ref[j]
         y0 = y0_ref[j]
         x0 = pl.multiple_of(x0_ref[j], 8)
+        nr = nrows_ref[j]
         for lv, f in enumerate(refs):
             @pl.when(lvl == lv)
             def _():
                 pltpu.make_async_copy(
-                    f.at[img, pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :],
-                    patch.at[k], sem.at[k],
+                    f.at[img, pl.ds(y0, ROWS0), pl.ds(x0, PATCH_W), :],
+                    patch.at[k, 0:ROWS0], sem.at[k],
                 ).start()
 
+            # Tail rows only when the roi's vertical footprint reaches them.
+            # Skipped tails leave stale-but-finite rows that the zero
+            # interp weights cancel exactly; program 0 always transfers the
+            # tail so a fresh (possibly NaN-bit-pattern) scratch never
+            # reaches the MXU (0 x NaN = NaN).
+            @pl.when((lvl == lv) & ((nr > ROWS0) | (i == 0)))
+            def _():
+                pltpu.make_async_copy(
+                    f.at[img, pl.ds(y0 + ROWS0, tail), pl.ds(x0, PATCH_W), :],
+                    patch.at[k, ROWS0:PATCH], sem2.at[k],
+                ).start()
+
+    o = output_size
     c = patch.shape[-1]
     for k in range(mini):
         pltpu.make_async_copy(
-            f0.at[0, pl.ds(0, PATCH), pl.ds(0, PATCH_W), :],
-            patch.at[k], sem.at[k],
+            f0.at[0, pl.ds(0, ROWS0), pl.ds(0, PATCH_W), :],
+            patch.at[k, 0:ROWS0], sem.at[k],
         ).wait()
+
+        @pl.when((nrows_ref[i * mini + k] > ROWS0) | (i == 0))
+        def _():
+            pltpu.make_async_copy(
+                f0.at[0, pl.ds(0, tail), pl.ds(0, PATCH_W), :],
+                patch.at[k, ROWS0:PATCH], sem2.at[k],
+            ).wait()
         # pool-folded interp matrices: [out, PATCH] / [out, PATCH_W]
         wy = _interp_matrix(geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
-                            geom_ref[k, 5], output_size, sampling_ratio, PATCH)
+                            geom_ref[k, 5], o, sampling_ratio, PATCH)
         wx = _interp_matrix(geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
-                            geom_ref[k, 7], output_size, sampling_ratio, PATCH_W)
+                            geom_ref[k, 7], o, sampling_ratio, PATCH_W)
+        # Combined Kronecker pooling operator wc[(oy,ox),(py,px)] =
+        # wy[oy,py]·wx[ox,px]: ONE [o², PATCH·PATCH_W] @ [PATCH·PATCH_W, C]
+        # matmul instead of two M=7 matmuls + a [7,7,C] swapaxes — 7× the
+        # M-rows per MXU pass and one issue slot; measured faster than the
+        # separable pair on a DMA-bound kernel (PERF.md).  Built with
+        # concats (Mosaic cannot shape-cast the 4D outer product, and
+        # pltpu.repeat has tile semantics).
+        wyR = jnp.concatenate(
+            [jnp.broadcast_to(wy[t:t + 1], (o, PATCH)) for t in range(o)], 0)
+        wxR = jnp.concatenate([wx] * o, axis=0)            # [o², PATCH_W]
+        wc = jnp.concatenate(
+            [wyR[:, py:py + 1] * wxR for py in range(PATCH)], axis=1)
         # The MXU truncates f32 operands to bf16 at default precision; keep
         # f32 inputs exact (bf16/int8 patches already carry <= bf16 info).
         # For bf16 patches feed the MXU directly (casting the ~0.5M-element
         # patch on the VPU costs more than the matmul); int8 values <= 127
         # are exact in bf16.
         if jnp.dtype(patch.dtype) == jnp.float32:
-            pf, wyc, prec = patch[k][:], wy, jax.lax.Precision.HIGHEST
+            pf, prec = patch[k][:], jax.lax.Precision.HIGHEST
         else:
             pf = patch[k][:].astype(jnp.bfloat16)
-            wyc, prec = wy.astype(jnp.bfloat16), None
-        tmp = jax.lax.dot_general(
-            wyc, pf.reshape(PATCH, PATCH_W * c),
+            wc, prec = wc.astype(jnp.bfloat16), None
+        pooled = jax.lax.dot_general(
+            wc, pf.reshape(PATCH * PATCH_W, c),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ).reshape(output_size, PATCH_W, c)
-        # pooled[x, y, c] = sum_w wx[x, w] * tmp[y, w, c]
-        pooled = jax.lax.dot_general(
-            wx, tmp,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )                                                  # [x, y, C]
-        pooled = jnp.swapaxes(pooled, 0, 1)                # -> [y, x, C]
+        )                                                  # [o², C]
         if dequant:
             pooled = pooled * scales_ref[lvl_ref[i * mini + k]]
-        out_ref[k] = pooled
+        out_ref[k] = pooled.reshape(o, o, c)
 
 
 @functools.partial(
@@ -252,12 +293,19 @@ def pallas_roi_align_batched(
     c = features[0].shape[-1]
     level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
 
-    padded = [jnp.pad(f, ((0, 0), (1, PATCH), (1, PATCH_W), (0, 0)))
+    # Mosaic requires DMA slice extents on the lane (channel) dim to be
+    # 128-aligned; pad small test channel counts up (serving C=256 is
+    # untouched) and slice the pooled output back at the end.
+    cpad = max(0, -c % 128)
+    padded = [jnp.pad(f, ((0, 0), (1, PATCH), (1, PATCH_W), (0, cpad)))
               for f in features]
+    if cpad and scales is not None:
+        scales = jnp.pad(scales, ((0, 0), (0, cpad)))
+    c += cpad
 
     flat_rois = rois.reshape(b * r, 4)
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-    lvl, y0, x0, fgeom = _prep_scalars(
+    lvl, y0, x0, nrows, fgeom = _prep_scalars(
         flat_rois, level_shapes, spatial_scales, output_size
     )
 
@@ -268,6 +316,7 @@ def pallas_roi_align_batched(
         lvl = jnp.pad(lvl, (0, pad))
         y0 = jnp.pad(y0, (0, pad))
         x0 = jnp.pad(x0, (0, pad))
+        nrows = jnp.pad(nrows, (0, pad), constant_values=1)
         fgeom = jnp.pad(fgeom, ((0, pad), (0, 0)))
 
     dequant = scales is not None
@@ -290,7 +339,7 @@ def pallas_roi_align_batched(
             scales.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         )]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(roi_chunk // mini,),
         in_specs=[
             pl.BlockSpec((8, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -301,6 +350,7 @@ def pallas_roi_align_batched(
         ),
         scratch_shapes=[
             pltpu.VMEM((mini, PATCH, PATCH_W, c), padded[0].dtype),
+            pltpu.SemaphoreType.DMA((mini,)),
             pltpu.SemaphoreType.DMA((mini,)),
         ],
     )
@@ -318,15 +368,18 @@ def pallas_roi_align_batched(
     geom_chunked = fgeom.reshape(n_chunks, geom_rows, 8)
 
     def body(args):
-        im, lv, yy, xx, geom = args
+        im, lv, yy, xx, nr, geom = args
         extra = (scales,) if dequant else ()
-        return call(im, lv, yy, xx, geom, *padded, *extra)
+        return call(im, lv, yy, xx, nr, geom, *padded, *extra)
 
     outs = jax.lax.map(
-        body, (chunk(img_idx), chunk(lvl), chunk(y0), chunk(x0), geom_chunked)
+        body, (chunk(img_idx), chunk(lvl), chunk(y0), chunk(x0), chunk(nrows),
+               geom_chunked)
     )
     out = outs.reshape(n + pad, output_size, output_size, c)[:n]
-    return out.reshape(b, r, output_size, output_size, c)
+    if cpad:
+        out = out[..., : c - cpad]
+    return out.reshape(b, r, output_size, output_size, c - cpad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
