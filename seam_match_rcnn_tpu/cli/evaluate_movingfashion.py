@@ -28,6 +28,10 @@ def build_argparser():
     p.add_argument("--score_threshold", type=float, default=0.0)
     p.add_argument("--noise", type=bool, default=True)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/MovingFashion/MF_epoch031")
+    p.add_argument("--device_ingest", action="store_true",
+                   help="upload raw frames and run resize/canvas placement "
+                        "fused on the TPU instead of host cv2 (eval/runner "
+                        "ingest='device'; PERF.md lever 6)")
     p.add_argument("--exact_roi_align", action="store_true",
                    help="revert to the exact XLA kernels (RoIAlign AND the "
                         "NLB aggregation) instead of the full Pallas "
@@ -51,7 +55,8 @@ def main(argv=None):
         _eval_products(ds, args.frames_per_shop_test, args.first_n_withvideo),
         EvalConfig(score_threshold=args.score_threshold,
                    frames_per_product=args.frames_per_shop_test,
-                   first_n_withvideo=args.first_n_withvideo),
+                   first_n_withvideo=args.first_n_withvideo,
+                   ingest="device" if args.device_ingest else "host"),
     )
 
 

@@ -23,6 +23,10 @@ def build_argparser():
     p.add_argument("--first_n_withvideo", type=int, default=100)
     p.add_argument("--score_threshold", type=float, default=0.0)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/multiDF2/DF2_epoch031")
+    p.add_argument("--device_ingest", action="store_true",
+                   help="upload raw frames and run resize/canvas placement "
+                        "fused on the TPU instead of host cv2 (eval/runner "
+                        "ingest='device'; PERF.md lever 6)")
     p.add_argument("--exact_roi_align", action="store_true",
                    help="revert to the exact XLA kernels (RoIAlign AND the "
                         "NLB aggregation) instead of the full Pallas "
@@ -48,6 +52,7 @@ def main(argv=None):
         EvalConfig(score_threshold=args.score_threshold,
                    frames_per_product=args.frames_per_shop_test,
                    first_n_withvideo=args.first_n_withvideo,
+                   ingest="device" if args.device_ingest else "host",
                    tracking_threshold=0.7),
     )
 

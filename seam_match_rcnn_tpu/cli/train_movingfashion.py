@@ -52,6 +52,9 @@ def build_argparser():
     p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
     p.add_argument("--start_ckpt", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device_ingest", action="store_true",
+                   help="raw-frame upload + TPU-fused resize for the frozen-"
+                        "detector inference pass (eval/runner ingest='device')")
     p.add_argument("--exact_roi_align", action="store_true",
                    help="revert the frozen-detector inference pass to the exact "
                         "XLA kernels (RoIAlign AND the NLB aggregation) — "
@@ -111,6 +114,7 @@ def main(argv=None):
             model, merge_head_state(variables, head_state),
             chunk=tcfg.infer_chunk, with_match=False, with_aggr_features=False,
             with_roi_features=True,
+            ingest="device" if args.device_ingest else "host",
         )
         from ..data.prefetch import prefetch
 

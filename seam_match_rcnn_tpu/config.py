@@ -202,6 +202,10 @@ class EvalConfig:
     tracking_threshold: float = 0.3
     first_n_withvideo: int | None = 100
     infer_chunk: int = 11
+    # Inference-runner ingest path: "host" (cv2 resize before upload,
+    # reference parity) or "device" (raw-frame upload + TPU-fused bilinear
+    # resize/canvas placement — eval/runner.py, PERF.md lever 6).
+    ingest: str = "host"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,7 +92,8 @@ def evaluate(
     from .runner import InferenceRunner
 
     if runner is None:
-        runner = InferenceRunner(model, variables, chunk=cfg.infer_chunk)
+        runner = InferenceRunner(model, variables, chunk=cfg.infer_chunk,
+                                 ingest=cfg.ingest)
 
     shop_feats, shop_aggr, shop_sources, shop_keys = [], [], [], []
     street = {k: [] for k in ("feat", "aggr", "prod", "img", "score", "box")}

@@ -51,7 +51,8 @@ def evaluate(
     from .runner import InferenceRunner
 
     if runner is None:
-        runner = InferenceRunner(model, variables, chunk=cfg.infer_chunk)
+        runner = InferenceRunner(model, variables, chunk=cfg.infer_chunk,
+                                 ingest=cfg.ingest)
 
     p = variables["params"]
     w = np.asarray(p["match_predictor"]["last"]["kernel"]).T
