@@ -65,6 +65,44 @@ def _self_suppress(conflict: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
     return kept
 
 
+def _greedy_kept(boxes, scores, valid, iou_threshold, tile_size):
+    """Core tiled greedy pass.  Returns (kept [N_pad] bool in score order,
+    order [N] the sort permutation, pad)."""
+    n = boxes.shape[0]
+    t = min(tile_size, _round_up(n, 8))
+    n_pad = _round_up(n, t)
+
+    order = jnp.argsort(-scores)  # stable; invalid sink to the end
+    sboxes = boxes[order]
+    svalid = valid[order]
+
+    pad = n_pad - n
+    if pad:
+        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
+        svalid = jnp.pad(svalid, (0, pad))
+
+    num_tiles = n_pad // t
+    positions = jnp.arange(n_pad)
+
+    def tile_body(i, kept_global):
+        start = i * t
+        tile_boxes = jax.lax.dynamic_slice(sboxes, (start, 0), (t, 4))
+        tile_valid = jax.lax.dynamic_slice(svalid, (start,), (t,))
+        iou_all = box_iou(tile_boxes, sboxes)  # [T, N_pad]
+        conflict_all = iou_all > iou_threshold
+        prev_kept = kept_global & (positions < start)
+        cross = jnp.any(conflict_all & prev_kept[None, :], axis=1)
+        alive = tile_valid & ~cross
+        conflict_self = jax.lax.dynamic_slice(conflict_all, (0, start), (t, t))
+        tile_kept = _self_suppress(conflict_self, alive)
+        return jax.lax.dynamic_update_slice(kept_global, tile_kept, (start,))
+
+    kept = jax.lax.fori_loop(
+        0, num_tiles, tile_body, jnp.zeros((n_pad,), dtype=bool)
+    )
+    return kept, order, pad
+
+
 @functools.partial(jax.jit, static_argnames=("max_output", "tile_size"))
 def nms_padded(
     boxes: jnp.ndarray,
@@ -93,38 +131,8 @@ def nms_padded(
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     scores = jnp.where(valid, scores, _NEG_INF)
-
-    t = min(tile_size, _round_up(n, 8))
-    n_pad = _round_up(n, t)
-
-    order = jnp.argsort(-scores)  # stable; invalid sink to the end
-    sboxes = boxes[order]
-    svalid = valid[order]
-    sscores = scores[order]
-
-    pad = n_pad - n
-    if pad:
-        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
-        svalid = jnp.pad(svalid, (0, pad))
-        sscores = jnp.pad(sscores, (0, pad), constant_values=_NEG_INF)
-
-    num_tiles = n_pad // t
-    positions = jnp.arange(n_pad)
-
-    def tile_body(i, kept_global):
-        start = i * t
-        tile_boxes = jax.lax.dynamic_slice(sboxes, (start, 0), (t, 4))
-        tile_valid = jax.lax.dynamic_slice(svalid, (start,), (t,))
-        iou_all = box_iou(tile_boxes, sboxes)  # [T, N_pad]
-        conflict_all = iou_all > iou_threshold
-        prev_kept = kept_global & (positions < start)
-        cross = jnp.any(conflict_all & prev_kept[None, :], axis=1)
-        alive = tile_valid & ~cross
-        conflict_self = jax.lax.dynamic_slice(conflict_all, (0, start), (t, t))
-        tile_kept = _self_suppress(conflict_self, alive)
-        return jax.lax.dynamic_update_slice(kept_global, tile_kept, (start,))
-
-    kept = jax.lax.fori_loop(0, num_tiles, tile_body, jnp.zeros((n_pad,), dtype=bool))
+    kept, order, pad = _greedy_kept(boxes, scores, valid, iou_threshold,
+                                    tile_size)
 
     # Compact kept positions (already in score order) into [max_output].
     rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
@@ -134,6 +142,33 @@ def nms_padded(
     out = out.at[slot].set(orig, mode="drop")
     indices = out[:max_output]
     return indices, indices >= 0
+
+
+@functools.partial(jax.jit, static_argnames=("tile_size",))
+def nms_kept_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: Optional[jnp.ndarray] = None,
+    tile_size: int = 256,
+) -> jnp.ndarray:
+    """Exact greedy NMS returning the survivor mask in ORIGINAL order.
+
+    Cheaper than nms_padded when the caller does its own top-k afterwards
+    (e.g. per-FPN-level RPN NMS merged by a global score top-k — boxes on
+    different levels never suppress each other, so running one NMS per
+    contiguous level segment does 1/L of the offset-trick's O((LK)²) IoU
+    work; torchvision semantics at
+    /root/reference/models/matchrcnn.py:16-19 via RegionProposalNetwork).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    scores = jnp.where(valid, scores, _NEG_INF)
+    kept, order, pad = _greedy_kept(boxes, scores, valid, iou_threshold,
+                                    tile_size)
+    del pad
+    return jnp.zeros((n,), dtype=bool).at[order].set(kept[:n])
 
 
 def batched_nms_padded(

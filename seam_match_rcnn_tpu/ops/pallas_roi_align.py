@@ -5,7 +5,7 @@ bandwidth-correct but gather-throughput-bound on TPU (~14 µs/roi measured —
 dominating the whole detector).  This kernel restructures the op around the
 hardware:
 
-  * each roi DMAs ONE contiguous [PATCH, PATCH_W, C] window of its FPN level
+  * each roi DMAs a contiguous [PATCH, PATCH_W, C] window of its FPN level
     from HBM into VMEM (the FPN level mapper bounds a roi's footprint at its
     level to ≈14–28 feature cells per sqrt-area side, so the start-aligned
     window covers footprints to ~37 cells — aspect ratios ≤ ~1.75 at the
@@ -13,17 +13,20 @@ hardware:
     larger-footprint outliers clamp to the patch edge — documented
     approximation; the XLA gather path stays exact and is the default for
     training, while serving_model_config selects this kernel: ~3.8× serving
-    throughput end-to-end on the dev chip, see PERF.md);
-  * bilinear sampling becomes two small MXU matmuls with one-hot
-    interpolation matrices built on the VPU, with the sampling_ratio²
-    average pool folded into the matrices (mean of sub-sample rows):
-        tmp = W_y @ patch            [out, PATCH] @ [PATCH, PATCH_W·C]
-        out = W_x · tmp              (contracted over the W axis);
-  * per-roi DMA addresses (image, level, window origin) arrive via scalar
-    prefetch; the float sample-grid geometry streams through VMEM.  The
-    batch dimension is folded into the grid (one program per roi across the
-    whole batch) and rois are chunked so the prefetch arrays stay within
-    SMEM.
+    throughput end-to-end on the dev chip, see PERF.md).  The transfer is
+    split at row ROWS0: the 16-row tail moves only when the roi's vertical
+    footprint reaches it — the kernel is DMA-byte-bound and ~55% of serving
+    rois skip the tail exactly (zero interp weight there);
+  * bilinear sampling + the sampling_ratio² average pool become ONE MXU
+    matmul with the combined Kronecker pooling operator built on the VPU:
+        out = (W_y ⊗ W_x) @ patch    [out², PATCH·PATCH_W] @ [PATCH·PATCH_W, C]
+    (pool folded into the one-hot interpolation matrices; measured faster
+    than the separable two-matmul form, whose M=7 wastes MXU rows);
+  * per-roi DMA addresses (image, level, window origin, footprint rows)
+    arrive via scalar prefetch; the float sample-grid geometry streams
+    through VMEM.  The batch dimension is folded into the grid (one program
+    per roi across the whole batch) and rois are chunked so the prefetch
+    arrays stay within SMEM.
 
 Semantics otherwise follow torchvision aligned=False exactly
 (/root/reference/models/matchrcnn.py:21-28 via MultiScaleRoIAlign):

@@ -38,3 +38,33 @@ def test_flag_overrides_parse():
     a = train_mf().parse_args(["--lr", "0.01", "--milestones", "5", "10",
                                "--n_shops", "4"])
     assert a.lr == 0.01 and a.milestones == [5, 10] and a.n_shops == 4
+
+
+def test_device_ingest_flag_all_clis():
+    """--device_ingest selects the TPU-fused resize ingest (PERF.md lever 6)
+    on both eval CLIs and both phase-2 train CLIs; default stays host."""
+    for bp in (train_mf, train_mdf2, eval_mf, eval_mdf2):
+        assert bp().parse_args([]).device_ingest is False
+        assert bp().parse_args(["--device_ingest"]).device_ingest is True
+
+
+def test_evalconfig_ingest_reaches_runner(monkeypatch):
+    """evaluate() forwards EvalConfig.ingest to its default InferenceRunner."""
+    from seam_match_rcnn_tpu.config import EvalConfig
+    from seam_match_rcnn_tpu.eval import movingfashion as mf_eval
+    from seam_match_rcnn_tpu.eval import runner as runner_mod
+
+    captured = {}
+
+    class FakeRunner:
+        def __init__(self, model, variables, **kw):
+            captured.update(kw)
+            raise RuntimeError("stop after construction")
+
+    monkeypatch.setattr(runner_mod, "InferenceRunner", FakeRunner)
+    try:
+        mf_eval.evaluate(None, {"params": {}},
+                         products=[], cfg=EvalConfig(ingest="device"))
+    except (RuntimeError, KeyError):
+        pass
+    assert captured.get("ingest") == "device"

@@ -72,3 +72,49 @@ def test_batched_nms_respects_categories():
     got = np.asarray(out)[np.asarray(mask)]
     # one box per category survives, score order
     np.testing.assert_array_equal(got, [0, 2])
+
+
+def test_nms_kept_mask_matches_nms_padded():
+    from seam_match_rcnn_tpu.ops.nms import nms_kept_mask
+
+    boxes, scores = make_boxes(400, seed=9)
+    valid = np.ones(400, bool)
+    valid[::7] = False
+    idx, mask = nms_padded(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 400,
+                           valid=jnp.asarray(valid), tile_size=64)
+    kept = nms_kept_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                         valid=jnp.asarray(valid), tile_size=64)
+    survivors = set(np.asarray(idx)[np.asarray(mask)].tolist())
+    assert survivors == set(np.nonzero(np.asarray(kept))[0].tolist())
+
+
+def test_per_level_nms_equals_offset_trick():
+    """The RPN's per-level-segment NMS + global top-k (models/rpn.py) must
+    select the same survivor set as torchvision-style offset batched NMS."""
+    from seam_match_rcnn_tpu.ops.nms import nms_kept_mask
+
+    rng = np.random.RandomState(3)
+    segs = [120, 80, 40]
+    boxes_l, scores_l = [], []
+    for i, n in enumerate(segs):
+        b, s = make_boxes(n, seed=10 + i)
+        boxes_l.append(b)
+        scores_l.append(s)
+    boxes = np.concatenate(boxes_l)
+    scores = np.concatenate(scores_l)
+    levels = np.concatenate([np.full(n, i) for i, n in enumerate(segs)])
+
+    idx, mask = batched_nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(levels), 0.6,
+        sum(segs), tile_size=64)
+    want = set(np.asarray(idx)[np.asarray(mask)].tolist())
+
+    kept = []
+    off = 0
+    for n in segs:
+        kept.append(np.asarray(nms_kept_mask(
+            jnp.asarray(boxes[off:off + n]), jnp.asarray(scores[off:off + n]),
+            0.6, tile_size=64)))
+        off += n
+    got = set(np.nonzero(np.concatenate(kept))[0].tolist())
+    assert got == want
