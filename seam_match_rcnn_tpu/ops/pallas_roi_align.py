@@ -249,20 +249,34 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
         wc = jnp.concatenate(
             [wyR[:, py:py + 1] * wxR for py in range(PATCH)], axis=1)
         # The MXU truncates f32 operands to bf16 at default precision; keep
-        # f32 inputs exact (bf16/int8 patches already carry <= bf16 info).
-        # For bf16 patches feed the MXU directly (casting the ~0.5M-element
-        # patch on the VPU costs more than the matmul); int8 values <= 127
-        # are exact in bf16.
-        if jnp.dtype(patch.dtype) == jnp.float32:
-            pf, prec = patch[k][:], jax.lax.Precision.HIGHEST
+        # f32 inputs exact via Precision.HIGHEST.
+        dn = (((1,), (0,)), ((), ()))
+        pdt = jnp.dtype(patch.dtype)
+        if pdt == jnp.int8:
+            # int8 x int8 MXU path: quantize the pooling operator to int8
+            # (entries in [0, 1], global scale 127) so the DMA-halving int8
+            # pyramid is not throttled by a VPU int8->bf16 patch cast.
+            # Extra error <= 0.5/127 per weight entry (documented in the
+            # int8 drift test); the int8 profile is approximate by contract.
+            wq = jnp.clip(jnp.round(wc * 127.0), -127.0, 127.0).astype(jnp.int8)
+            pooled = jax.lax.dot_general(
+                wq, patch[k][:].reshape(PATCH * PATCH_W, c),
+                dimension_numbers=dn, preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (1.0 / 127.0)          # [o², C]
+        elif pdt == jnp.float32:
+            pooled = jax.lax.dot_general(
+                wc, patch[k][:].reshape(PATCH * PATCH_W, c),
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         else:
-            pf = patch[k][:].astype(jnp.bfloat16)
-            wc, prec = wc.astype(jnp.bfloat16), None
-        pooled = jax.lax.dot_general(
-            wc, pf.reshape(PATCH * PATCH_W, c),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )                                                  # [o², C]
+            # bf16 patches feed the MXU directly (casting the ~0.5M-element
+            # patch on the VPU costs more than the matmul).
+            pooled = jax.lax.dot_general(
+                wc.astype(jnp.bfloat16),
+                patch[k][:].reshape(PATCH * PATCH_W, c),
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+            )
         if dequant:
             pooled = pooled * scales_ref[lvl_ref[i * mini + k]]
         out_ref[k] = pooled.reshape(o, o, c)

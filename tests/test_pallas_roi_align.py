@@ -99,8 +99,11 @@ def test_pallas_roi_align_int8_close_to_exact():
     got = np.asarray(
         pallas_multilevel_roi_align(qs, rois, 7, 2, interpret=True, scales=scales)
     )
-    # interpolation of values quantized to ≤ maxabs/254 per-channel error
-    tol = np.abs(np.asarray(scales)).max() * 0.75 + 1e-6
+    # Error budget: feature quantization ≤ maxabs/254 per channel, plus the
+    # int8-quantized pooling operator (≤ 0.5/127 per weight entry over the
+    # ≤16 active entries of a row, values bounded by the channel maxabs):
+    # both O(maxabs/127); 2.5 scales covers the sum with slack.
+    tol = np.abs(np.asarray(scales)).max() * 2.5 + 1e-6
     np.testing.assert_allclose(got, want, atol=tol)
     assert np.abs(got - want).max() > 0  # actually quantized, not a no-op
 
