@@ -243,6 +243,12 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
         # separable pair on a DMA-bound kernel (PERF.md).  Built with
         # concats (Mosaic cannot shape-cast the 4D outer product, and
         # pltpu.repeat has tile semantics).
+        dn = (((1,), (0,)), ((), ()))
+        pdt = jnp.dtype(patch.dtype)
+        if pdt == jnp.bfloat16:
+            # bf16 construction halves the VPU bytes of the expansion; the
+            # wy/wx entries already round to bf16 at the MXU anyway.
+            wy, wx = wy.astype(jnp.bfloat16), wx.astype(jnp.bfloat16)
         wyR = jnp.concatenate(
             [jnp.broadcast_to(wy[t:t + 1], (o, PATCH)) for t in range(o)], 0)
         wxR = jnp.concatenate([wx] * o, axis=0)            # [o², PATCH_W]
@@ -250,8 +256,6 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
             [wyR[:, py:py + 1] * wxR for py in range(PATCH)], axis=1)
         # The MXU truncates f32 operands to bf16 at default precision; keep
         # f32 inputs exact via Precision.HIGHEST.
-        dn = (((1,), (0,)), ((), ()))
-        pdt = jnp.dtype(patch.dtype)
         if pdt == jnp.int8:
             # int8 x int8 MXU path: quantize the pooling operator to int8
             # (entries in [0, 1], global scale 127) so the DMA-halving int8
