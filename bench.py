@@ -50,40 +50,61 @@ def main():
     from seam_match_rcnn_tpu.config import ModelConfig, RoIHeadsConfig
     from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN, init_model
 
-    cfg = ModelConfig(roi_heads=RoIHeadsConfig(roi_align_backend=ROI_BACKEND))
-    model, variables = init_model(cfg, video=True, canvas=(256, 320))
+    def build(backend):
+        cfg = ModelConfig(roi_heads=RoIHeadsConfig(roi_align_backend=backend))
+        return init_model(cfg, video=True, canvas=(256, 320))
 
-    def fwd(variables, images, sizes):
-        out = model.apply(
-            variables, images, sizes, method=MatchRCNN.inference,
-            with_masks=False, with_match=True, with_roi_features=True,
-        )
-        b, d = out["boxes"].shape[:2]
-        roi = out["roi_features"].reshape(b * d, 14, 14, -1)
-        aggr = model.apply(variables, roi, method=MatchRCNN.aggregator_descriptors)
-        return {
-            "boxes": out["boxes"], "scores": out["scores"],
-            "match_features": out["match_features"],
-            "aggr_features": aggr.reshape(b, d, -1),
-        }
+    def make_bench(model):
+        def fwd(variables, images, sizes):
+            out = model.apply(
+                variables, images, sizes, method=MatchRCNN.inference,
+                with_masks=False, with_match=True, with_roi_features=True,
+            )
+            b, d = out["boxes"].shape[:2]
+            roi = out["roi_features"].reshape(b * d, 14, 14, -1)
+            aggr = model.apply(
+                variables, roi, method=MatchRCNN.aggregator_descriptors)
+            return {
+                "boxes": out["boxes"], "scores": out["scores"],
+                "match_features": out["match_features"],
+                "aggr_features": aggr.reshape(b, d, -1),
+            }
 
-    def bench_loop(variables, all_images, sizes):
-        def body(acc, imgs):
-            out = fwd(variables, imgs, sizes)
-            s = (jnp.sum(out["scores"]) + jnp.sum(out["match_features"][:, :, 0])
-                 + jnp.sum(out["boxes"][:, :, 0]))
-            return acc + s, ()
-        total, _ = jax.lax.scan(body, jnp.float32(0), all_images)
-        return total
+        def bench_loop(variables, all_images, sizes):
+            def body(acc, imgs):
+                out = fwd(variables, imgs, sizes)
+                s = (jnp.sum(out["scores"])
+                     + jnp.sum(out["match_features"][:, :, 0])
+                     + jnp.sum(out["boxes"][:, :, 0]))
+                return acc + s, ()
+            total, _ = jax.lax.scan(body, jnp.float32(0), all_images)
+            return total
 
-    jbench = jax.jit(bench_loop)
+        return jax.jit(bench_loop)
+
     rng = np.random.RandomState(0)
     all_images = jnp.asarray(
         rng.rand(ITERS, BATCH, CANVAS[0], CANVAS[1], 3).astype(np.float32)
     )
     sizes = jnp.asarray([[800, 1333]] * BATCH, jnp.int32)
 
-    float(jbench(variables, all_images, sizes))  # compile + warm run
+    model, variables = build(ROI_BACKEND)
+    jbench = make_bench(model)
+    try:
+        float(jbench(variables, all_images, sizes))  # compile + warm run
+    except Exception as e:
+        # Insurance for the headline metric: if the Pallas backend fails to
+        # compile on the driver's libtpu (Mosaic rules have shifted between
+        # sessions before — see PERF.md), fall back to the exact XLA path
+        # rather than record nothing.
+        if ROI_BACKEND == "xla":
+            raise
+        import sys
+        print(f"pallas backend failed ({type(e).__name__}); "
+              "falling back to xla", file=sys.stderr)
+        model, variables = build("xla")
+        jbench = make_bench(model)
+        float(jbench(variables, all_images, sizes))
     t0 = time.perf_counter()
     total = float(jbench(variables, all_images, sizes))
     dt = time.perf_counter() - t0
