@@ -28,6 +28,11 @@ def build_argparser():
     p.add_argument("--score_threshold", type=float, default=0.0)
     p.add_argument("--noise", type=bool, default=True)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/MovingFashion/MF_epoch031")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a tiny synthetic MovingFashion dataset "
+                        "(data/synthetic.py: real mp4 videos + schema-exact "
+                        "JSON) and evaluate on it — end-to-end smoke run "
+                        "of the whole stack with no dataset downloads")
     p.add_argument("--device_ingest", action="store_true",
                    help="upload raw frames and run resize/canvas placement "
                         "fused on the TPU instead of host cv2 (eval/runner "
@@ -41,6 +46,15 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.synthetic:
+        import tempfile
+
+        from ..data.synthetic import make_synthetic_movingfashion
+
+        root = tempfile.mkdtemp(prefix="seam_synth_mf_")
+        args.test_annots = make_synthetic_movingfashion(root, n_products=3)
+        args.root = root
+        args.frames_per_shop_test = min(args.frames_per_shop_test, 4)
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     model, variables = init_model(cfg, video=True)
     if args.ckpt_path and os.path.exists(args.ckpt_path):
