@@ -23,6 +23,9 @@ def build_argparser():
     p.add_argument("--first_n_withvideo", type=int, default=100)
     p.add_argument("--score_threshold", type=float, default=0.0)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/multiDF2/DF2_epoch031")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic DeepFashion2 fixture and "
+                        "evaluate on it — dataset-free end-to-end smoke run")
     p.add_argument("--device_ingest", action="store_true",
                    help="upload raw frames and run resize/canvas placement "
                         "fused on the TPU instead of host cv2 (eval/runner "
@@ -36,6 +39,19 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.synthetic:
+        import tempfile
+
+        from ..data import convert as conv
+        from ..data.synthetic import make_synthetic_df2
+
+        root = tempfile.mkdtemp(prefix="seam_synth_mdf2_")
+        img_dir, ann_dir = make_synthetic_df2(
+            root, n_products=3, views_per_side=2, image_size=(120, 150))
+        ann = os.path.join(root, "annots.json")
+        conv.convert(img_dir, ann_dir, ann)
+        args.root_test, args.test_annots = img_dir, ann
+        args.frames_per_shop_test = min(args.frames_per_shop_test, 2)
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     model, variables = init_model(cfg, video=True)
     if args.ckpt_path and os.path.exists(args.ckpt_path):

@@ -47,6 +47,11 @@ def build_argparser():
     # pretrained_backbone=True warm-start
     p.add_argument("--imagenet_backbone", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train one epoch on a generated synthetic "
+                        "DeepFashion2 fixture at reduced geometry — "
+                        "dataset-free end-to-end smoke run of the phase-1 "
+                        "pipeline (sampler, engine, jitted step, ckpt)")
     p.add_argument("--exact_roi_align", action="store_true",
                    help="use the exact XLA RoIAlign forward instead of the "
                         "Pallas kernel (the Pallas path is differentiable: "
@@ -59,6 +64,36 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
+    if args.synthetic:
+        import dataclasses
+        import tempfile
+
+        from ..config import RPNConfig, TransformConfig
+        from ..data import convert as conv
+        from ..data.synthetic import make_synthetic_df2
+
+        root = tempfile.mkdtemp(prefix="seam_synth_df2_")
+        img_dir, ann_dir = make_synthetic_df2(
+            root, n_products=2, views_per_side=2, image_size=(120, 150))
+        ann = os.path.join(root, "annots.json")
+        conv.convert(img_dir, ann_dir, ann)
+        args.root_train, args.train_annots = img_dir, ann
+        args.batch_size, args.epochs, args.print_freq = 2, 1, 1
+        # The tiny epoch finishes warmup almost immediately (warmup clamps
+        # to steps_per_epoch-1, as in the reference), so the full 0.02 from-
+        # scratch lr diverges at batch 2 — use a smoke-scale lr, f32 compute.
+        args.lr = 0.002
+        args.save_dir = os.path.join(root, "ckpt")
+        cfg = dataclasses.replace(
+            cfg,
+            compute_dtype="float32",
+            rpn=RPNConfig(pre_nms_top_n_train=80, post_nms_top_n_train=100,
+                          pre_nms_top_n_test=40, post_nms_top_n_test=60,
+                          batch_size_per_image=32),
+            roi_heads=dataclasses.replace(
+                cfg.roi_heads, batch_size_per_image=64, detections_per_img=8),
+            transform=TransformConfig(min_size=96, max_size=128),
+        )
     tcfg = TrainConfig(
         lr=args.lr, momentum=args.momentum, milestones=tuple(args.milestones),
         gamma=args.gamma, epochs=args.epochs, batch_size=args.batch_size,

@@ -52,6 +52,11 @@ def build_argparser():
     p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
     p.add_argument("--start_ckpt", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train one epoch on a generated synthetic "
+                        "MovingFashion dataset (real mp4 decode) — "
+                        "dataset-free end-to-end smoke of the two-phase "
+                        "SEAM loop")
     p.add_argument("--device_ingest", action="store_true",
                    help="raw-frame upload + TPU-fused resize for the frozen-"
                         "detector inference pass (eval/runner ingest='device')")
@@ -65,6 +70,21 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.synthetic:
+        import tempfile
+
+        from ..data.synthetic import make_synthetic_movingfashion
+
+        root = tempfile.mkdtemp(prefix="seam_synth_mf_")
+        annots = make_synthetic_movingfashion(root, n_products=3)
+        args.root = root
+        args.train_annots = annots
+        args.test_annots = annots
+        args.n_shops, args.frames_per_shop_train = 2, 3
+        args.frames_per_shop_test = 3
+        args.epochs, args.eval_freq, args.print_freq = 1, 1, 1
+        args.save_dir = os.path.join(root, "ckpt")
+        args.pretrained_path = ""
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     tcfg = SEAMTrainConfig(
         lr=args.lr, weight_decay=args.w_decay, milestones=tuple(args.milestones),
