@@ -45,6 +45,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from ..parallel.collectives import initialize_distributed
+
+    initialize_distributed()  # no-op unless SEAM_MULTIHOST=1
     args = build_argparser().parse_args(argv)
     if args.synthetic:
         import tempfile

@@ -62,6 +62,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from ..parallel.collectives import initialize_distributed
+
+    initialize_distributed()  # no-op unless SEAM_MULTIHOST=1
     args = build_argparser().parse_args(argv)
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     if args.synthetic:

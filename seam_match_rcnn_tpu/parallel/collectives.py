@@ -86,10 +86,17 @@ def gather_objects(obj: Any) -> List[Any]:
 def initialize_distributed(**kwargs) -> None:
     """Multi-host init (reference init_distributed_mode, utils.py:504-527):
     under TPU pods this is ``jax.distributed.initialize`` (coordinator
-    discovery is automatic on TPU VMs)."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # single-process (the common dev case)
+    discovery is automatic on TPU VMs).
+
+    Must run BEFORE any other jax API touches the backend — even
+    ``jax.process_count()`` finalizes single-process initialization, after
+    which distributed init is a no-op.  Gated on ``SEAM_MULTIHOST=1`` so
+    single-host dev runs (where ``initialize`` would fail or stall looking
+    for a coordinator) are unaffected; every CLI calls this first thing,
+    replacing the reference's ``torch.distributed.launch`` env rendezvous.
+    """
+    import os
+
+    if os.environ.get("SEAM_MULTIHOST", "") not in ("1", "true"):
+        return
+    jax.distributed.initialize(**kwargs)
