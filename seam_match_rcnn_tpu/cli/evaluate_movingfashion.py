@@ -58,6 +58,7 @@ def main(argv=None):
         args.test_annots = make_synthetic_movingfashion(root, n_products=3)
         args.root = root
         args.frames_per_shop_test = min(args.frames_per_shop_test, 4)
+        args.out_dir = os.path.join(root, "logs_mf")
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     model, variables = init_model(cfg, video=True)
     if args.ckpt_path and os.path.exists(args.ckpt_path):
@@ -74,6 +75,7 @@ def main(argv=None):
                    frames_per_product=args.frames_per_shop_test,
                    first_n_withvideo=args.first_n_withvideo,
                    ingest="device" if args.device_ingest else "host"),
+        out_dir=getattr(args, "out_dir", "logs_mf"),
     )
 
 

@@ -55,6 +55,7 @@ def main(argv=None):
         conv.convert(img_dir, ann_dir, ann)
         args.root_test, args.test_annots = img_dir, ann
         args.frames_per_shop_test = min(args.frames_per_shop_test, 2)
+        args.out_dir = os.path.join(root, "logs_mdf2")
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     model, variables = init_model(cfg, video=True)
     if args.ckpt_path and os.path.exists(args.ckpt_path):
@@ -73,6 +74,7 @@ def main(argv=None):
                    first_n_withvideo=args.first_n_withvideo,
                    ingest="device" if args.device_ingest else "host",
                    tracking_threshold=0.7),
+        out_dir=getattr(args, "out_dir", "logs_mdf2"),
     )
 
 
