@@ -25,9 +25,21 @@ def save_checkpoint(path: str, payload: Dict[str, Any]):
     ckptr.save(path, jax.tree.map(np.asarray, payload), force=True)
 
 
-def restore_checkpoint(path: str) -> Dict[str, Any]:
+def restore_checkpoint(path: str, target: Any = None) -> Dict[str, Any]:
+    """``target``: optional pytree with the desired STRUCTURE (e.g. a live
+    TrainState._asdict()).  Without it orbax returns raw nested dicts/lists,
+    which breaks consumers expecting typed nodes — optax opt_states are
+    NamedTuples whose update path uses attribute access, so the --start_ckpt
+    resume flow must pass the structure it is restoring into."""
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    if target is None:
+        return ckptr.restore(path)
+    restored = ckptr.restore(path, item=jax.tree.map(np.asarray, target))
+    # Re-impose the target's tree types (orbax item-restore keeps structure
+    # for containers it understands; unflatten guards the rest).
+    leaves = jax.tree.leaves(restored)
+    return jax.tree.unflatten(jax.tree.structure(target), leaves)
 
 
 class CheckpointManager:

@@ -132,7 +132,10 @@ def main(argv=None):
     state = create_train_state(variables, tx)
     start_ep = 0
     if args.start_ckpt:
-        payload = restore_checkpoint(args.start_ckpt)
+        # target= reimposes the live state's tree types (optax opt_state is
+        # a NamedTuple chain; a raw-dict restore would break tx.update)
+        payload = restore_checkpoint(
+            args.start_ckpt, target={"state": state._asdict(), "epoch": 0})
         state = TrainState(**payload["state"])
         start_ep = int(payload.get("epoch", 0)) + 1
 

@@ -96,9 +96,18 @@ def main(argv=None):
     head_state = create_head_state(variables, tx)
     start_ep = 0
     if args.start_ckpt:
-        payload = restore_checkpoint(args.start_ckpt)
+        # reference resume restores model + optimizer + scheduler epoch
+        # (train_movingfashion.py:79-83); target= keeps optax's typed
+        # opt_state through orbax
+        payload = restore_checkpoint(
+            args.start_ckpt,
+            target={"variables": variables,
+                    "head_state": head_state._asdict(), "epoch": 0},
+        )
         variables = payload["variables"]
-        head_state = create_head_state(variables, tx)
+        from ..train.seam import HeadState
+
+        head_state = HeadState(**payload["head_state"])
         start_ep = int(payload.get("epoch", 0)) + 1
 
     head_step = make_mdf2_head_step(tx, n_frames=cfg.match.n_frames)
@@ -126,7 +135,9 @@ def main(argv=None):
             writer=writer,
         )
         merged = merge_head_state(variables, head_state)
-        ckpts.maybe_save(epoch, {"variables": merged, "epoch": epoch})
+        ckpts.maybe_save(epoch, {"variables": merged,
+                                 "head_state": head_state._asdict(),
+                                 "epoch": epoch})
         if epoch % tcfg.eval_freq == 0:
             res = evaluate(
                 model, merged,
@@ -141,6 +152,7 @@ def main(argv=None):
             print(f"epoch {epoch}: single/avg/aggr = {res}")
     ckpts.maybe_save(tcfg.epochs - 1,
                      {"variables": merge_head_state(variables, head_state),
+                      "head_state": head_state._asdict(),
                       "epoch": tcfg.epochs - 1}, final=True)
     writer.close()
 

@@ -32,3 +32,63 @@ def test_checkpoint_jnp_arrays(tmp_path):
     save_checkpoint(path, {"a": jnp.ones((3,)) * 2})
     back = restore_checkpoint(path)
     np.testing.assert_array_equal(np.asarray(back["a"]), [2, 2, 2])
+
+
+def test_resume_optstate_roundtrip(tmp_path):
+    """--start_ckpt resume semantics: a restored opt_state must feed
+    tx.update directly.  Target-less orbax restore returns raw dicts/lists,
+    which breaks optax's typed states (attribute access on TraceState) —
+    restore_checkpoint(target=...) reimposes the structure."""
+    import jax
+
+    from seam_match_rcnn_tpu.train.optim import multistep_warmup_schedule, sgd
+
+    params = {"w": jnp.ones((3,))}
+    tx = sgd(multistep_warmup_schedule(0.1, (2,), 0.1, 10, 5, 1e-3),
+             momentum=0.9)
+    opt_state = tx.init(params)
+    path = str(tmp_path / "ck")
+    save_checkpoint(
+        path, {"state": {"params": params, "opt_state": opt_state, "step": 3}})
+    target = {"state": {"params": params, "opt_state": opt_state, "step": 0}}
+    back = restore_checkpoint(path, target=target)
+    assert int(back["state"]["step"]) == 3
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, back["state"]["opt_state"], params)
+    assert jnp.all(jnp.isfinite(updates["w"]))
+
+
+def test_phase2_resume_payload_roundtrip(tmp_path):
+    """train_movingfashion/multidf2 save {variables, head_state, epoch} and
+    resume by restoring into a live-target structure; the restored
+    HeadState must feed tx.update (typed opt_state preserved)."""
+    import jax
+
+    from seam_match_rcnn_tpu.train.optim import multistep_warmup_schedule, sgd
+    from seam_match_rcnn_tpu.train.seam import HeadState, create_head_state
+
+    variables = {
+        "params": {
+            "match_predictor": {"w": jnp.ones((2, 2))},
+            "temporal_aggregator": {"v": jnp.zeros((3,))},
+            "backbone": {"k": jnp.ones((2,))},
+        },
+        "batch_stats": {
+            "match_predictor": {"m": jnp.zeros((2,))},
+            "temporal_aggregator": {"m": jnp.zeros((3,))},
+        },
+    }
+    tx = sgd(multistep_warmup_schedule(0.04, (15,), 0.1, 10, 5, 1e-3),
+             momentum=0.9)
+    head_state = create_head_state(variables, tx)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"variables": variables,
+                           "head_state": head_state._asdict(), "epoch": 4})
+    payload = restore_checkpoint(
+        path, target={"variables": variables,
+                      "head_state": head_state._asdict(), "epoch": 0})
+    back = HeadState(**payload["head_state"])
+    assert int(payload["epoch"]) == 4
+    grads = jax.tree.map(jnp.ones_like, back.params)
+    updates, _ = tx.update(grads, back.opt_state, back.params)
+    assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(updates))
