@@ -1,7 +1,10 @@
 """Experiment: RoIAlign kernel variants (see PERF.md lever 5).
 
 Variants measured at the serving geometry (11 x 4000 rois, 7x7, 256ch bf16):
-  separable   production kernel: two matmuls, M=7 (ops/pallas_roi_align.py)
+  NOTE: production (ops/pallas_roi_align.py) has since adopted the
+  combined matmul + footprint-gated row DMA; the variants here rebuild
+  the historical forms for A/B measurement.
+  separable   two matmuls, M=7 (the original kernel)
   dma_floor   patch DMA + trivial slice-store only — the DMA/issue floor;
               if this ~= separable, matmul restructuring cannot help
   combined    ONE matmul [49, 1920] @ [1920, C] with the Kronecker pooling
