@@ -88,35 +88,45 @@ def main():
     )
     sizes = jnp.asarray([[800, 1333]] * BATCH, jnp.int32)
 
+    backend, fallback = ROI_BACKEND, False
     model, variables = build(ROI_BACKEND)
     jbench = make_bench(model)
     try:
-        float(jbench(variables, all_images, sizes))  # compile + warm run
+        # Trace + compile explicitly so only COMPILE-time failures (Mosaic
+        # lowering rules have shifted between driver sessions — PERF.md)
+        # trigger the fallback; a runtime failure still raises.
+        compiled = jbench.lower(variables, all_images, sizes).compile()
     except Exception as e:
-        # Insurance for the headline metric: if the Pallas backend fails to
-        # compile on the driver's libtpu (Mosaic rules have shifted between
-        # sessions before — see PERF.md), fall back to the exact XLA path
-        # rather than record nothing.
+        # Insurance for the headline metric: fall back to the exact XLA
+        # path rather than record nothing — and RECORD the switch in the
+        # JSON line so a Pallas regression can't masquerade as a Pallas
+        # number (ADVICE r1).
         if ROI_BACKEND == "xla":
             raise
         import sys
-        print(f"pallas backend failed ({type(e).__name__}); "
+        print(f"pallas backend failed to compile ({type(e).__name__}); "
               "falling back to xla", file=sys.stderr)
+        backend, fallback = "xla", True
         model, variables = build("xla")
         jbench = make_bench(model)
-        float(jbench(variables, all_images, sizes))
+        compiled = jbench.lower(variables, all_images, sizes).compile()
+    float(compiled(variables, all_images, sizes))  # warm run
     t0 = time.perf_counter()
-    total = float(jbench(variables, all_images, sizes))
+    total = float(compiled(variables, all_images, sizes))
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
 
     fps = BATCH * ITERS / dt
-    print(json.dumps({
+    out = {
         "metric": "movingfashion_eval_inference_throughput",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_PYTORCH_GPU_FPS, 3),
-    }))
+        "roi_backend": backend,
+    }
+    if fallback:
+        out["fallback"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

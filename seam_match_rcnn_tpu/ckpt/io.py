@@ -36,10 +36,47 @@ def restore_checkpoint(path: str, target: Any = None) -> Dict[str, Any]:
     if target is None:
         return ckptr.restore(path)
     restored = ckptr.restore(path, item=jax.tree.map(np.asarray, target))
-    # Re-impose the target's tree types (orbax item-restore keeps structure
-    # for containers it understands; unflatten guards the rest).
-    leaves = jax.tree.leaves(restored)
-    return jax.tree.unflatten(jax.tree.structure(target), leaves)
+    if jax.tree.structure(restored) == jax.tree.structure(target):
+        return restored
+    # Orbax returned plain containers (dicts/lists) where the target holds
+    # typed nodes.  Re-impose the target's types by NAME, never by flat
+    # leaf order: dict leaves flatten key-sorted, so a blind unflatten
+    # would silently permute NamedTuple fields whose declaration order is
+    # not alphabetical — corrupting opt_state with no error (ADVICE r1).
+    return _reimpose_types(target, restored)
+
+
+def _reimpose_types(target: Any, restored: Any) -> Any:
+    """Recursively rebuild ``restored`` with ``target``'s container types,
+    matching NamedTuple fields / dict entries by name and sequences by
+    position; raises KeyError/ValueError loudly on a genuine mismatch."""
+    if isinstance(target, tuple) and hasattr(target, "_fields"):  # NamedTuple
+        if isinstance(restored, dict):
+            children = [_reimpose_types(getattr(target, f), restored[f])
+                        for f in target._fields]
+        else:
+            if len(restored) != len(target._fields):
+                raise ValueError(
+                    f"checkpoint node has {len(restored)} children but "
+                    f"target {type(target).__name__} expects "
+                    f"{target._fields}")
+            children = [_reimpose_types(getattr(target, f), r)
+                        for f, r in zip(target._fields, restored)]
+        return type(target)(*children)
+    if isinstance(target, dict):
+        if not isinstance(restored, dict):
+            raise ValueError(
+                f"checkpoint node {type(restored).__name__} where target "
+                f"expects a dict with keys {sorted(target)}")
+        return {k: _reimpose_types(v, restored[k]) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        if len(restored) != len(target):
+            raise ValueError(
+                f"checkpoint node has {len(restored)} children but target "
+                f"{type(target).__name__} has {len(target)}")
+        return type(target)(
+            _reimpose_types(t, r) for t, r in zip(target, restored))
+    return restored  # leaf (array / scalar / None)
 
 
 class CheckpointManager:

@@ -23,7 +23,7 @@ from ..ckpt.io import CheckpointManager, restore_checkpoint
 from ..models.matchrcnn import init_model
 from ..train.engine import train_one_epoch_matchrcnn
 from ..train.optim import multistep_warmup_schedule, sgd
-from ..train.steps import TrainState, create_train_state, make_phase1_step
+from ..train.steps import TrainState, create_train_state, make_phase1_grad_apply
 from ..utils.logging import ScalarWriter
 
 
@@ -31,7 +31,7 @@ def build_argparser():
     p = argparse.ArgumentParser("TPU Match R-CNN phase-1 training")
     p.add_argument("--root_train", type=str, default="data/deepfashion2/train/image")
     p.add_argument("--train_annots", type=str, default="data/deepfashion2/train/annots.json")
-    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--lr", type=float, default=0.02)
     p.add_argument("--momentum", type=float, default=0.9)
@@ -139,7 +139,9 @@ def main(argv=None):
         state = TrainState(**payload["state"])
         start_ep = int(payload.get("epoch", 0)) + 1
 
-    step_fn = make_phase1_step(model, tx)
+    # (grad, accum, apply) triple: one optimizer update per batch even when
+    # orientations mix (reference engine.py:62-64 semantics)
+    step_fn = make_phase1_grad_apply(model, tx)
     writer = ScalarWriter(os.path.join(args.log_dir, args.save_tag))
     ckpts = CheckpointManager(os.path.join(args.save_dir, args.save_tag),
                               tcfg.save_epochs)

@@ -39,9 +39,10 @@ def build_argparser():
     p.add_argument("--w_decay", type=float, default=5e-4)
     p.add_argument("--milestones", type=int, nargs="+", default=[15, 25])
     p.add_argument("--gamma", type=float, default=0.1)
-    p.add_argument("--score_thresh", type=float, default=0.7)
+    # reference passes 0.1 into the epoch loop (train_movingfashion.py:119)
+    p.add_argument("--score_thresh", type=float, default=0.1)
     p.add_argument("--eval_freq", type=int, default=4)
-    p.add_argument("--save_epochs", type=int, default=5)
+    p.add_argument("--save_epochs", type=int, default=2)
     p.add_argument("--save_tag", type=str, default="seam_mf")
     p.add_argument("--save_dir", type=str, default="ckpt")
     p.add_argument("--log_dir", type=str, default="runs")

@@ -73,6 +73,16 @@ class RoIHeadsConfig:
     # bandwidth-bound hot stage at ≤maxabs/254 per-channel noise; approximate
     # serving profile).  See PERF.md.
     roi_align_backend: str = "xla"
+    # Exact-fixup escape hatch for the pallas backends: re-run up to this
+    # many patch-clamped rois per image through the exact XLA kernel and
+    # scatter the results back (ops/pallas_roi_align.apply_exact_fixup).
+    # Measured (tools/measure_roi_clamp.py + the descriptor-drift regression
+    # test, PERF.md): clamping needs aspect ≥ 2.0 at the very top of a level
+    # band (≥ 2.7 mid-band), hits 1–3% of an anchor-shaped roi distribution,
+    # and the resulting match-descriptor drift is ~2e-4 on O(1) descriptors
+    # — negligible for retrieval, so the serving default keeps the budget at
+    # 0; set >0 for bit-exactness on clamped rois.
+    roi_align_fixup_budget: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +171,8 @@ class TrainConfig:
     epochs: int = 12
     warmup_iters: int = 1000
     warmup_factor: float = 1.0 / 1000
-    batch_size: int = 16
+    # Reference CLI default (/root/reference/train_matchrcnn.py:115).
+    batch_size: int = 8
     save_epochs: int = 2
     print_freq: int = 100
     seed: int = 0
@@ -180,10 +191,14 @@ class SEAMTrainConfig:
     warmup_factor: float = 1.0 / 1000
     n_shops: int = 16
     frames_per_shop: int = 10
-    score_thresh: float = 0.7
+    # The reference CLIs *pass* score_thresh=0.1 into both phase-2 epoch
+    # loops (/root/reference/train_movingfashion.py:119,
+    # train_multiDF2.py:113) — the engine-signature default of 0.7
+    # (stuffs/engine.py:77) is never used in practice.
+    score_thresh: float = 0.1
     infer_chunk: int = 15
     eval_freq: int = 4
-    save_epochs: int = 5
+    save_epochs: int = 2
     print_freq: int = 20
     seed: int = 0
 

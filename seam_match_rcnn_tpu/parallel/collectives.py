@@ -98,5 +98,22 @@ def initialize_distributed(**kwargs) -> None:
     import os
 
     if os.environ.get("SEAM_MULTIHOST", "") not in ("1", "true"):
+        # A forgotten gate on a real pod silently turns the job into N
+        # independent single-process runs (wrong global batch, N× eval).
+        # Warn loudly when pod-environment markers are present (ADVICE r1).
+        markers = [k for k in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                               "MEGASCALE_COORDINATOR_ADDRESS",
+                               "MEGASCALE_NUM_SLICES")
+                   if os.environ.get(k)]
+        if markers:
+            import warnings
+
+            warnings.warn(
+                "multi-host TPU environment detected "
+                f"({', '.join(markers)} set) but SEAM_MULTIHOST is not 1 — "
+                "skipping jax.distributed.initialize; this process will run "
+                "as an INDEPENDENT single-host job. Set SEAM_MULTIHOST=1 to "
+                "initialize the pod.",
+                RuntimeWarning, stacklevel=2)
         return
     jax.distributed.initialize(**kwargs)

@@ -92,3 +92,37 @@ def test_phase2_resume_payload_roundtrip(tmp_path):
     grads = jax.tree.map(jnp.ones_like, back.params)
     updates, _ = tx.update(grads, back.opt_state, back.params)
     assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(updates))
+
+
+def test_reimpose_types_matches_namedtuple_fields_by_name():
+    """A dict node restored where the target holds a NamedTuple whose field
+    order is NOT alphabetical must merge by field name — a flat-leaf
+    unflatten would permute (dict leaves flatten key-sorted) and corrupt
+    opt_state silently (ADVICE r1)."""
+    import collections
+
+    from seam_match_rcnn_tpu.ckpt.io import _reimpose_types
+
+    State = collections.namedtuple("State", ["zeta", "alpha"])  # z before a
+    target = {"s": State(zeta=np.zeros(2), alpha=np.zeros(3))}
+    restored = {"s": {"alpha": np.full(3, 1.0), "zeta": np.full(2, 9.0)}}
+    out = _reimpose_types(target, restored)
+    assert isinstance(out["s"], State)
+    np.testing.assert_array_equal(out["s"].zeta, np.full(2, 9.0))
+    np.testing.assert_array_equal(out["s"].alpha, np.full(3, 1.0))
+
+
+def test_reimpose_types_fails_loudly_on_mismatch(tmp_path):
+    import collections
+
+    import pytest
+
+    from seam_match_rcnn_tpu.ckpt.io import _reimpose_types
+
+    State = collections.namedtuple("State", ["a", "b"])
+    with pytest.raises(KeyError):
+        _reimpose_types({"s": State(1, 2)}, {"s": {"a": 1, "WRONG": 2}})
+    with pytest.raises(ValueError):
+        _reimpose_types({"s": State(1, 2)}, {"s": [1, 2, 3]})
+    with pytest.raises(ValueError):
+        _reimpose_types({"s": [1, 2]}, {"s": [1, 2, 3]})

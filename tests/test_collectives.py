@@ -38,3 +38,23 @@ def test_host_helpers_single_process():
     assert C.process_count() == 1
     assert C.is_main_process()
     assert C.gather_objects({"a": 1}) == [{"a": 1}]
+
+
+def test_multihost_gate_warns_on_pod_markers(monkeypatch):
+    """SEAM_MULTIHOST unset on a machine with pod-environment markers must
+    warn loudly (silently-independent-replicas hazard, ADVICE r1)."""
+    import warnings
+
+    monkeypatch.delenv("SEAM_MULTIHOST", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        C.initialize_distributed()
+    assert any("SEAM_MULTIHOST" in str(w.message) for w in rec)
+
+    # no markers -> silent no-op
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        C.initialize_distributed()
+    assert not rec
