@@ -76,15 +76,28 @@ def train_one_epoch_matchrcnn(
 ):
     """Phase-1 loop.  ``data`` yields (images, targets, ids) batches.
 
-    Mixed-orientation batches are split per canvas bucket and stepped
-    per bucket (the static-canvas analogue of torchvision's dynamic batch
-    padding); each sub-step is a full optimizer update.
+    Mixed-orientation batches are split per canvas bucket (the
+    static-canvas analogue of torchvision's dynamic batch padding).  When
+    ``step_fn`` is the (grad, accum, apply) triple from
+    ``make_phase1_grad_apply``, bucket gradients are accumulated (weighted
+    by bucket fraction) into ONE optimizer update per batch — matching the
+    reference's one-step-per-batch semantics
+    (/root/reference/stuffs/engine.py:62-64).  A plain step_fn callable
+    performs a full update per bucket (legacy behavior, exact only for
+    single-orientation batches).
     """
+    accumulate = isinstance(step_fn, tuple)
+    if accumulate:
+        grad_fn, accum_fn, apply_fn = step_fn
     logger = MetricLogger()
     count = 0
     for images, targets, ids in logger.log_every(data, print_freq,
                                                  f"Epoch: [{epoch}]",
                                                  total=steps_per_epoch):
+        acc = None
+        stats = None
+        lf: Dict[str, float] = {}
+        n_total = len(images)
         for bucket in batch_images(images, model.cfg.transform):
             bt = [targets[i] for i in bucket.indices]
             crop = bt[0]["mask_crops"].shape[-1] if len(bt[0]["mask_crops"]) else 56
@@ -95,14 +108,29 @@ def train_one_epoch_matchrcnn(
                 "gt": jax.tree.map(jnp.asarray, gt),
             }
             rng, sub = jax.random.split(rng)
-            state, losses = step_fn(state, batch, sub)
-            lf = {k: float(v) for k, v in losses.items()}
+            if accumulate:
+                w = len(bucket.indices) / n_total
+                # chain BN running stats through the buckets (the reference
+                # sees the whole batch in one forward; sequential EMA updates
+                # are the closest static-canvas equivalent)
+                cur = state._replace(batch_stats=stats) if stats is not None else state
+                grads, losses, stats = grad_fn(cur, batch, sub, jnp.float32(w))
+                acc = grads if acc is None else accum_fn(acc, grads)
+                for k, v in losses.items():
+                    lf[k] = lf.get(k, 0.0) + w * float(v)
+            else:
+                state, losses = step_fn(state, batch, sub)
+                lf = {k: float(v) for k, v in losses.items()}
+                _check_finite(lf, f"epoch {epoch} step {count} ids {ids}")
+                logger.update(**lf)
+        if accumulate and acc is not None:
+            state = apply_fn(state, acc, stats)
             _check_finite(lf, f"epoch {epoch} step {count} ids {ids}")
             logger.update(**lf)
-            if writer is not None and count % print_freq == 0:
-                for k, v in lf.items():
-                    writer.add_scalar(k, v, global_step=int(state.step))
-            count += 1
+        if writer is not None and count % print_freq == 0 and lf:
+            for k, v in lf.items():
+                writer.add_scalar(k, v, global_step=int(state.step))
+        count += 1
     return state, rng
 
 

@@ -154,3 +154,80 @@ def test_phase1_step_pallas_backend_trains():
         assert d > 0.0  # parameters actually moved
         losses[name] = float(out["loss"])
     assert abs(losses["xla"] - losses["pallas"]) < 0.05 * abs(losses["xla"]) + 1e-3
+
+
+def test_phase1_grad_apply_matches_single_step():
+    """With one bucket (weight 1.0), the (grad, accum, apply) triple must
+    reproduce make_phase1_step exactly; with two half-batches accumulated at
+    weight 0.5 each, the update must equal the full-batch step (the mixed-
+    orientation one-update-per-batch semantics, reference engine.py:62-64)."""
+    from seam_match_rcnn_tpu.train.steps import make_phase1_grad_apply
+
+    cfg = tiny_cfg()
+    model, variables = init_model(cfg, video=False, canvas=(64, 64))
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    state0 = create_train_state(variables, tx)
+    step = make_phase1_step(model, tx)
+    grad_fn, accum_fn, apply_fn = make_phase1_grad_apply(model, tx)
+    batch = make_batch(2)
+    rng = jax.random.PRNGKey(0)
+
+    ref_state, ref_losses = step(state0, batch, rng)
+    g, losses, stats = grad_fn(state0, batch, rng, jnp.float32(1.0))
+    out_state = apply_fn(state0, g, stats)
+    assert int(out_state.step) == 1
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert float(losses["loss"]) == float(ref_losses["loss"])
+
+    # two buckets, same PRNG per bucket as a pure-accumulation check:
+    # grads(w=.5)+grads(w=.5) over the SAME batch == grads(w=1.0)
+    g1, _, stats1 = grad_fn(state0, batch, rng, jnp.float32(0.5))
+    g2, _, _ = grad_fn(state0, batch, rng, jnp.float32(0.5))
+    acc = accum_fn(g1, g2)
+    out2 = apply_fn(state0, acc, stats1)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(out2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_engine_mixed_orientation_single_update():
+    """train_one_epoch_matchrcnn with the accumulation triple performs ONE
+    optimizer update for a mixed portrait+landscape batch."""
+    import dataclasses
+
+    from seam_match_rcnn_tpu.config import TransformConfig
+    from seam_match_rcnn_tpu.train.engine import train_one_epoch_matchrcnn
+    from seam_match_rcnn_tpu.train.steps import make_phase1_grad_apply
+
+    cfg = dataclasses.replace(
+        tiny_cfg(), transform=TransformConfig(min_size=48, max_size=64))
+    model, variables = init_model(
+        cfg, video=False, canvas=cfg.transform.landscape_canvas)
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    state = create_train_state(variables, tx)
+    triple = make_phase1_grad_apply(model, tx)
+
+    rng = np.random.RandomState(0)
+
+    def target(g=2):
+        return {
+            "boxes": np.asarray([[2, 2, 20, 20], [5, 5, 25, 25]], np.float32)[:g],
+            "labels": np.asarray([1, 2], np.int64)[:g],
+            "pair_ids": np.asarray([1, 1], np.int64)[:g],
+            "styles": np.asarray([1, 1], np.int64)[:g],
+            "sources": np.asarray([0, 0], np.int64)[:g],
+            "mask_crops": (rng.rand(g, 28, 28) > 0.5).astype(np.uint8),
+        }
+
+    # one landscape (W>H) + one portrait (H>W) image -> two canvas buckets
+    images = [rng.rand(40, 60, 3).astype(np.float32),
+              rng.rand(60, 40, 3).astype(np.float32)]
+    targets = [target(), target()]
+    data = [(images, targets, [0, 1])]
+    state, _ = train_one_epoch_matchrcnn(
+        model, state, triple, data, epoch=0, rng=jax.random.PRNGKey(0),
+        print_freq=10, g_max=4)
+    assert int(state.step) == 1
