@@ -144,22 +144,34 @@ class MatchRCNN(nn.Module):
 
     def _roi_align(self, feats, rois, output_size, roi_chunk, prequant=None):
         c = self.cfg.roi_heads
+
+        def fixup(out):
+            # exact-fixup escape hatch for patch-clamped rois (budget 0 = off)
+            if c.roi_align_fixup_budget <= 0:
+                return out
+            from ..ops.pallas_roi_align import apply_exact_fixup
+
+            return apply_exact_fixup(
+                tuple(feats[:4]), rois, out, output_size, c.sampling_ratio,
+                c.roi_align_fixup_budget,
+            )
+
         if c.roi_align_backend == "pallas":
             # differentiable: pallas forward, exact XLA adjoint backward
             from ..ops.pallas_roi_align import pallas_roi_align_trainable
 
-            return pallas_roi_align_trainable(
+            return fixup(pallas_roi_align_trainable(
                 tuple(feats[:4]), rois, output_size, c.sampling_ratio
-            ).astype(feats[0].dtype)
+            )).astype(feats[0].dtype)
         if c.roi_align_backend == "pallas_int8":
             from ..ops.pallas_roi_align import pallas_roi_align_batched
 
             feats4, scales = (prequant if prequant is not None
                               else self._quantize_pyramid(feats))
-            return pallas_roi_align_batched(
+            return fixup(pallas_roi_align_batched(
                 feats4, rois, output_size, sampling_ratio=c.sampling_ratio,
                 scales=scales,
-            ).astype(feats[0].dtype)
+            )).astype(feats[0].dtype)
         if c.roi_align_backend != "xla":
             raise ValueError(
                 f"unknown roi_align_backend {c.roi_align_backend!r}; "

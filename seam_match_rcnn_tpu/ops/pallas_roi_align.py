@@ -8,8 +8,9 @@ hardware:
   * each roi DMAs a contiguous [PATCH, PATCH_W, C] window of its FPN level
     from HBM into VMEM (the FPN level mapper bounds a roi's footprint at its
     level to ≈14–28 feature cells per sqrt-area side, so the start-aligned
-    window covers footprints to ~37 cells — aspect ratios ≤ ~1.75 at the
-    very top of the band, everything below;
+    window covers footprints to ~39.5 cells — aspect ratios < 2.0 at the
+    very top of the band, < 2.7 mid-band, everything below
+    (measured: PERF.md "patch-clamp quantification");
     larger-footprint outliers clamp to the patch edge — documented
     approximation; the XLA gather path stays exact and is the default for
     training, while serving_model_config selects this kernel: ~3.8× serving
@@ -114,6 +115,58 @@ def _prep_scalars(rois, level_shapes, spatial_scales, output_size):
         1, PATCH,
     )
     return lvl.astype(jnp.int32), y0i, x0p, nrows, fgeom
+
+
+def footprint_clamp_mask(
+    rois: jnp.ndarray,
+    level_shapes: Sequence[Tuple[int, int]],
+    spatial_scales: Sequence[float] = (0.25, 0.125, 0.0625, 0.03125),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Per-roi mask of the kernel's patch-window approximation.
+
+    True where the [PATCH, PATCH_W] window cannot cover the roi's bilinear
+    sample footprint at its FPN level, i.e. where ``pallas_roi_align``
+    clamps samples at the patch edge and diverges from the exact kernel
+    (torchvision semantics, /root/reference/models/matchrcnn.py:21-28).
+    Mirrors ``_prep_scalars`` exactly; rois whose overflow lies beyond the
+    image border are NOT flagged (both kernels clamp identically there).
+
+    Used to (a) quantify the approximation on a roi distribution
+    (tools/measure_roi_clamp.py, PERF.md) and (b) drive the exact-fixup
+    escape hatch in ``pallas_roi_align_fixup``.
+    """
+    heights = jnp.asarray([s[0] for s in level_shapes], jnp.float32)
+    widths = jnp.asarray([s[1] for s in level_shapes], jnp.float32)
+    scales = jnp.asarray(spatial_scales, jnp.float32)
+
+    lvl = fpn_level_indices(rois, num_levels=len(level_shapes))
+    sc = scales[lvl]
+    h = heights[lvl]
+    w = widths[lvl]
+
+    x1 = rois[..., 0] * sc
+    y1 = rois[..., 1] * sc
+    roi_w = jnp.maximum(rois[..., 2] * sc - x1, 1.0)
+    roi_h = jnp.maximum(rois[..., 3] * sc - y1, 1.0)
+    bin_w = roi_w / output_size
+    bin_h = roi_h / output_size
+
+    y0 = jnp.clip(jnp.floor(y1) - 1.0, -1.0, jnp.maximum(h - 1.0, 0.0))
+    x0 = jnp.clip(jnp.floor(x1) - 1.0, -1.0, jnp.maximum(w - 1.0, 0.0))
+    x0p = ((x0 + 1.0).astype(jnp.int32) // 8) * 8
+    x0 = x0p.astype(jnp.float32) - 1.0
+
+    # last sub-sample coordinate along each axis (patch-local):
+    # start + (out-1)*bin + (ratio-0.5)/ratio*bin
+    cy = (y1 - y0) + output_size * bin_h - bin_h * 0.5 / sampling_ratio
+    cx = (x1 - x0) + output_size * bin_w - bin_w * 0.5 / sampling_ratio
+    # image border (exact semantics clamp here too -> not an approximation)
+    cy = jnp.minimum(cy, (h - y0) - 1.0)
+    cx = jnp.minimum(cx, (w - x0) - 1.0)
+    # bilinear reads floor(c)+1: exact while c <= width-1
+    return (cy > PATCH - 1.0) | (cx > PATCH_W - 1.0)
 
 
 def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width):
@@ -401,6 +454,50 @@ def pallas_roi_align_batched(
     if cpad:
         out = out[..., : c - cpad]
     return out.reshape(b, r, output_size, output_size, c - cpad)
+
+
+def apply_exact_fixup(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    out: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    budget: int = 32,
+) -> jnp.ndarray:
+    """Escape hatch for the patch-window approximation: re-run the EXACT
+    XLA kernel on (up to ``budget``) clamped rois per image and scatter the
+    results into the Pallas output.
+
+    ``footprint_clamp_mask`` flags the rois whose bilinear footprint
+    overflows the [PATCH, PATCH_W] window; those (measured ≲1e-3 of
+    serving-distribution rois — tools/measure_roi_clamp.py, PERF.md) are
+    recomputed with torchvision-exact semantics.  Static shapes: the
+    top-``budget`` flagged rois per image are fixed; overflow beyond the
+    budget stays approximate (count is observable host-side via the mask).
+
+    features: per level [B, H, W, C]; rois [B, R, 4]; out [B, R, o, o, C].
+    """
+    from .roi_align import batched_multilevel_roi_align
+
+    b, r = rois.shape[:2]
+    k = min(budget, r)
+    if k <= 0:
+        return out
+    level_shapes = tuple((f.shape[1], f.shape[2]) for f in features[:4])
+    mask = footprint_clamp_mask(
+        rois.reshape(b * r, 4), level_shapes,
+        output_size=output_size, sampling_ratio=sampling_ratio,
+    ).reshape(b, r)
+    score, idx = jax.lax.top_k(mask.astype(jnp.float32), k)  # [B, K]
+    sub_rois = jnp.take_along_axis(rois, idx[..., None], axis=1)
+    exact = batched_multilevel_roi_align(
+        list(features[:4]), sub_rois, output_size,
+        sampling_ratio=sampling_ratio, roi_chunk=k,
+    ).astype(out.dtype)
+    cur = out[jnp.arange(b)[:, None], idx]
+    sel = (score > 0.0)[..., None, None, None]
+    return out.at[jnp.arange(b)[:, None], idx].set(
+        jnp.where(sel, exact, cur))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
