@@ -170,16 +170,20 @@ class DF2PairBatchSampler:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def __iter__(self):
+    def shard_entries(self):
+        """This process's slice of the (epoch-seeded, shuffled, padded)
+        entry list — slices are disjoint across shards except for the
+        pad-to-divisible wraparound (DF2Dataset.py:289-307)."""
         entries = list(self.ds.accepted_entries)
         rng = random.Random(self.seed + self.epoch)
         if self.shuffle:
             rng.shuffle(entries)
-        # epoch-seeded shard with pad-to-divisible (DF2Dataset.py:289-307)
         n = -(-len(entries) // self.num_shards)
-        entries = (entries + entries[: n * self.num_shards - len(entries)])[
-            self.shard * n : (self.shard + 1) * n
-        ]
+        padded = entries + entries[: n * self.num_shards - len(entries)]
+        return rng, padded[self.shard * n : (self.shard + 1) * n]
+
+    def __iter__(self):
+        rng, entries = self.shard_entries()
         batch: List[int] = []
         for img_id in entries:
             if self.ds.coco.imgs[img_id]["source"] == "user":
