@@ -17,11 +17,14 @@ import cv2
 import numpy as np
 
 
-def _garment_image(size, box, color, bg=32):
+def _garment_image(size, box, color, bg=32, nprng=None):
     img = np.full((size[0], size[1], 3), bg, np.uint8)
     x1, y1, x2, y2 = [int(v) for v in box]
     img[y1:y2, x1:x2] = color
-    noise = np.random.randint(0, 20, img.shape, np.uint8)
+    # seeded noise: fixtures must be bit-identical between runs (smoke
+    # training at tiny scale is sensitive to the pixel noise draw)
+    nprng = nprng if nprng is not None else np.random.RandomState(0)
+    noise = nprng.randint(0, 20, img.shape).astype(np.uint8)
     return cv2.add(img, noise)
 
 
@@ -35,6 +38,7 @@ def make_synthetic_df2(
     get the COCO file, mirroring the reference workflow
     (/root/reference/README.md:74-77)."""
     rng = random.Random(seed)
+    nprng = np.random.RandomState(seed)
     img_dir = os.path.join(out_dir, "image")
     ann_dir = os.path.join(out_dir, "annos")
     os.makedirs(img_dir, exist_ok=True)
@@ -51,7 +55,7 @@ def make_synthetic_df2(
                 x1 = rng.randrange(0, w - bw)
                 y1 = rng.randrange(0, h - bh)
                 box = [x1, y1, x1 + bw, y1 + bh]
-                img = _garment_image(image_size, box, color)
+                img = _garment_image(image_size, box, color, nprng=nprng)
                 name = f"{idx:06d}"
                 cv2.imwrite(os.path.join(img_dir, name + ".jpg"), img[:, :, ::-1])
                 ann = {
@@ -79,6 +83,7 @@ def make_synthetic_movingfashion(
     at /root/reference/datasets/MFDataset.py:16-25 including tracklets.
     Returns the JSON path."""
     rng = random.Random(seed)
+    nprng = np.random.RandomState(seed)
     os.makedirs(os.path.join(out_dir, "imgs"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "videos"), exist_ok=True)
     data = {}
@@ -88,7 +93,7 @@ def make_synthetic_movingfashion(
         color = [rng.randrange(64, 255) for _ in range(3)]
         bw, bh = rng.randrange(40, 70), rng.randrange(50, 80)
         shop_box = [20, 20, 20 + bw, 20 + bh]
-        shop = _garment_image(frame_size, shop_box, color)
+        shop = _garment_image(frame_size, shop_box, color, nprng=nprng)
         img_rel = f"imgs/{pid}.jpg"
         cv2.imwrite(os.path.join(out_dir, img_rel), shop[:, :, ::-1])
 
@@ -102,7 +107,7 @@ def make_synthetic_movingfashion(
             x1 = 10 + int((w - bw - 30) * t / max(n_frames - 1, 1))
             y1 = 15 + (t % 3) * 4
             box = [x1, y1, x1 + bw, y1 + bh]
-            frame = _garment_image(frame_size, box, color)
+            frame = _garment_image(frame_size, box, color, nprng=nprng)
             writer.write(frame[:, :, ::-1])
             tracklet[str(t)] = box
         writer.release()
