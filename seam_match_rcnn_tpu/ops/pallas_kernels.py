@@ -98,9 +98,14 @@ def _nlb_kernel(
     seq = seq_ref[0].astype(jnp.float32)          # [T, C]
     mask = mask_ref[0].astype(jnp.float32)        # [T, 1] (0/1)
 
+    # Precision.HIGHEST: the MXU truncates f32 operands to bf16 at default
+    # precision, which costs ~2e-3 relative error on the descriptors; these
+    # matmuls are [T,256]-sized (negligible compute), so exactness is free
+    # (verified compiled-on-TPU by tests/test_tpu_compiled.py).
     dot = lambda a, bm: jax.lax.dot_general(
         a, bm, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     theta = dot(seq, theta_k_ref[:]) + theta_b_ref[:]   # [T, C']
     phi = dot(seq, phi_k_ref[:]) + phi_b_ref[:]

@@ -12,7 +12,11 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# SEAM_TEST_TPU=1 leaves the real TPU visible so `pytest -m tpu` runs the
+# compiled-kernel regression tests on the chip (VERDICT r1 #8); default is
+# the virtual CPU mesh.
+if os.environ.get("SEAM_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the full-detector train graphs take minutes to
 # compile on this single-core host; cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
