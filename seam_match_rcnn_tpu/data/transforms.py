@@ -56,6 +56,18 @@ class RandomHorizontalFlip:
                     target["mask_crops"] = np.ascontiguousarray(
                         np.asarray(target["mask_crops"])[..., ::-1]
                     )
+                if "keypoints" in target and target["keypoints"] is not None \
+                        and len(target["keypoints"]):
+                    # Reference flips keypoints through torchvision's COCO
+                    # *person* flip (stuffs/transform.py:40-42), whose 17-slot
+                    # left/right swap is meaningless for DF2's 294 garment
+                    # slots — and dead in practice (keypoint heads are None,
+                    # SURVEY §2.2).  Here: mirror x of visible slots, keep
+                    # slot identity (no swap), zero slots stay zero.
+                    k = np.asarray(target["keypoints"], np.float32).copy()
+                    vis = k[..., 2] > 0
+                    k[..., 0] = np.where(vis, w - k[..., 0], k[..., 0])
+                    target["keypoints"] = k
                 if "tracklet" in target and target["tracklet"] is not None:
                     t = np.asarray(target["tracklet"], np.float32).copy()
                     if (t >= 0).all():

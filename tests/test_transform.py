@@ -107,3 +107,24 @@ def test_device_ingest_matches_host_resize():
         assert sh == sd and oh == od
         assert ph.shape == pd.shape
         np.testing.assert_allclose(pd, ph, atol=3e-3 if imgs[i].dtype == np.uint8 else 1e-5)
+
+
+def test_flip_keypoints_mirror_visible_only():
+    """Keypoint flip: visible slots mirror in x, invisible stay zero, no
+    slot swapping (the reference's COCO-person 17-slot swap is inapplicable
+    to DF2's 294 garment slots and dead in practice — README parity notes)."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.data.transforms import RandomHorizontalFlip
+
+    img = np.zeros((10, 20, 3), np.float32)
+    kp = np.zeros((1, 294, 3), np.float32)
+    kp[0, 5] = [4.0, 7.0, 2.0]
+    kp[0, 60] = [15.0, 2.0, 1.0]
+    target = {"keypoints": kp.copy()}
+    flip = RandomHorizontalFlip(prob=1.1)  # always flips
+    _, out = flip(img, target)
+    k = out["keypoints"]
+    np.testing.assert_allclose(k[0, 5], [20.0 - 4.0, 7.0, 2.0])
+    np.testing.assert_allclose(k[0, 60], [20.0 - 15.0, 2.0, 1.0])
+    assert (k[0, 0] == 0).all()  # invisible slot untouched
