@@ -234,14 +234,15 @@ def quantize_features_int8(features: Sequence[jnp.ndarray]):
 
 def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
             f0, f1, f2, f3, *rest,
-            output_size, sampling_ratio, dequant, mini):
+            output_size, sampling_ratio, dequant, mini, splits):
     if dequant:
-        scales_ref, out_ref, patch, sem, sem2 = rest
+        scales_ref, out_ref, patch, sems = rest
     else:
-        out_ref, patch, sem, sem2 = rest
+        out_ref, patch, sems = rest
     i = pl.program_id(0)
     refs = (f0, f1, f2, f3)
-    tail = PATCH - ROWS0
+    bounds = (0,) + tuple(splits) + (PATCH,)
+    n_pieces = len(bounds) - 1
 
     for k in range(mini):
         j = i * mini + k
@@ -251,39 +252,42 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
         x0 = pl.multiple_of(x0_ref[j], 8)
         nr = nrows_ref[j]
         for lv, f in enumerate(refs):
-            @pl.when(lvl == lv)
-            def _():
-                pltpu.make_async_copy(
-                    f.at[img, pl.ds(y0, ROWS0), pl.ds(x0, PATCH_W), :],
-                    patch.at[k, 0:ROWS0], sem.at[k],
-                ).start()
-
-            # Tail rows only when the roi's vertical footprint reaches them.
-            # Skipped tails leave stale-but-finite rows that the zero
-            # interp weights cancel exactly; program 0 always transfers the
-            # tail so a fresh (possibly NaN-bit-pattern) scratch never
+            # Piece 0 always transfers; pieces beyond a split row move only
+            # when the roi's vertical footprint reaches them.  Skipped
+            # pieces leave stale-but-finite rows that the zero interp
+            # weights cancel exactly; program 0 always transfers every
+            # piece so a fresh (possibly NaN-bit-pattern) scratch never
             # reaches the MXU (0 x NaN = NaN).
-            @pl.when((lvl == lv) & ((nr > ROWS0) | (i == 0)))
-            def _():
-                pltpu.make_async_copy(
-                    f.at[img, pl.ds(y0 + ROWS0, tail), pl.ds(x0, PATCH_W), :],
-                    patch.at[k, ROWS0:PATCH], sem2.at[k],
-                ).start()
+            for pi in range(n_pieces):
+                lo, hi = bounds[pi], bounds[pi + 1]
+                cond = (lvl == lv) if pi == 0 else (
+                    (lvl == lv) & ((nr > lo) | (i == 0)))
+
+                @pl.when(cond)
+                def _(f=f, lo=lo, hi=hi, pi=pi, img=img, y0=y0, x0=x0, k=k):
+                    pltpu.make_async_copy(
+                        f.at[img, pl.ds(y0 + lo, hi - lo),
+                             pl.ds(x0, PATCH_W), :],
+                        patch.at[k, lo:hi], sems.at[pi, k],
+                    ).start()
 
     o = output_size
     c = patch.shape[-1]
     for k in range(mini):
-        pltpu.make_async_copy(
-            f0.at[0, pl.ds(0, ROWS0), pl.ds(0, PATCH_W), :],
-            patch.at[k, 0:ROWS0], sem.at[k],
-        ).wait()
-
-        @pl.when((nrows_ref[i * mini + k] > ROWS0) | (i == 0))
-        def _():
-            pltpu.make_async_copy(
-                f0.at[0, pl.ds(0, tail), pl.ds(0, PATCH_W), :],
-                patch.at[k, ROWS0:PATCH], sem2.at[k],
-            ).wait()
+        for pi in range(n_pieces):
+            lo, hi = bounds[pi], bounds[pi + 1]
+            if pi == 0:
+                pltpu.make_async_copy(
+                    f0.at[0, pl.ds(0, hi - lo), pl.ds(0, PATCH_W), :],
+                    patch.at[k, lo:hi], sems.at[pi, k],
+                ).wait()
+            else:
+                @pl.when((nrows_ref[i * mini + k] > lo) | (i == 0))
+                def _(lo=lo, hi=hi, pi=pi, k=k):
+                    pltpu.make_async_copy(
+                        f0.at[0, pl.ds(0, hi - lo), pl.ds(0, PATCH_W), :],
+                        patch.at[k, lo:hi], sems.at[pi, k],
+                    ).wait()
         # pool-folded interp matrices: [out, PATCH] / [out, PATCH_W]
         wy = _interp_matrix(geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
                             geom_ref[k, 5], o, sampling_ratio, PATCH)
@@ -341,7 +345,8 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "interpret", "roi_chunk"),
+    static_argnames=("output_size", "sampling_ratio", "interpret", "roi_chunk",
+                     "splits"),
 )
 def pallas_roi_align_batched(
     features: Sequence[jnp.ndarray],
@@ -352,6 +357,7 @@ def pallas_roi_align_batched(
     interpret: bool | str = "auto",
     roi_chunk: int = ROI_CHUNK,
     scales: jnp.ndarray | None = None,
+    splits: Tuple[int, ...] = (ROWS0,),
 ) -> jnp.ndarray:
     """Batched multi-level RoIAlign.
 
@@ -395,9 +401,10 @@ def pallas_roi_align_batched(
 
     dequant = scales is not None
     mini = _pick_mini(c, jnp.dtype(padded[0].dtype).itemsize)
+    assert all(0 < s < PATCH for s in splits) and list(splits) == sorted(splits)
     kernel = functools.partial(
         _kernel, output_size=output_size, sampling_ratio=sampling_ratio,
-        dequant=dequant, mini=mini,
+        dequant=dequant, mini=mini, splits=splits,
     )
     assert roi_chunk % mini == 0
     # Mosaic requires the geom block's sublane dim divisible by 8: pad each
@@ -424,8 +431,7 @@ def pallas_roi_align_batched(
         ),
         scratch_shapes=[
             pltpu.VMEM((mini, PATCH, PATCH_W, c), padded[0].dtype),
-            pltpu.SemaphoreType.DMA((mini,)),
-            pltpu.SemaphoreType.DMA((mini,)),
+            pltpu.SemaphoreType.DMA((len(splits) + 1, mini)),
         ],
     )
     call = pl.pallas_call(
