@@ -244,6 +244,53 @@ def load_torch_checkpoint(path: str, video: bool = False,
                               clone_match_to_aggregator=clone_match_to_aggregator)
 
 
+def load_pretrained_detector(path: str, base_variables,
+                             clone_match_to_aggregator: bool = True):
+    """Warm-start a (video) model from a phase-1 checkpoint of EITHER kind:
+
+    * a torch file (the reference's released ``df2matchrcnn``) — routed
+      through ``convert_state_dict``;
+    * an Orbax directory produced by our own ``cli.train_matchrcnn``
+      (payload {'state': {params, batch_stats, ...}, 'epoch'}) — the
+      reference flow phase-1 → phase-2 (train_movingfashion.py:85-89) with
+      native checkpoints.
+
+    ``base_variables`` supplies the video model's fresh extras (NLB /
+    attention_scorer init); with ``clone_match_to_aggregator`` the
+    aggregator trunk+last are cloned from the match predictor, mirroring
+    ``load_saved_matchrcnn`` (/root/reference/models/video_matchrcnn.py:325-328).
+    """
+    import os
+
+    if not os.path.isdir(path):
+        return load_torch_checkpoint(
+            path, video=True,
+            clone_match_to_aggregator=clone_match_to_aggregator)
+
+    from .io import restore_checkpoint
+
+    payload = restore_checkpoint(path)
+    state = payload.get("state", payload)
+    p1_params = state["params"]
+    p1_stats = state.get("batch_stats", {})
+
+    params = dict(base_variables["params"])
+    stats = dict(base_variables.get("batch_stats", {}))
+    for k, v in p1_params.items():
+        params[k] = v
+    for k, v in p1_stats.items():
+        stats[k] = v
+    if clone_match_to_aggregator and "match_predictor" in p1_params:
+        ta = dict(params.get("temporal_aggregator", _fresh_aggregator_extras()))
+        ta["trunk"] = copy.deepcopy(p1_params["match_predictor"]["trunk"])
+        ta["last"] = copy.deepcopy(p1_params["match_predictor"]["last"])
+        params["temporal_aggregator"] = ta
+        if "match_predictor" in p1_stats:
+            stats["temporal_aggregator"] = copy.deepcopy(
+                p1_stats["match_predictor"])
+    return {"params": params, "batch_stats": stats}
+
+
 def import_imagenet_backbone(variables, resnet_state_dict) -> dict:
     """Warm-start the backbone body from a plain torchvision ``resnet50``
     ImageNet state_dict (keys ``conv1.weight``, ``layer1.0.conv1.weight``, …)

@@ -81,12 +81,16 @@ def main(argv=None):
         ann = os.path.join(root, "annots.json")
         conv.convert(img_dir, ann_dir, ann)
         args.root_train, args.train_annots = img_dir, ann
-        args.batch_size, args.epochs, args.print_freq = 2, 1, 1
+        args.batch_size, args.print_freq = 2, 1
+        if args.epochs == 12:  # argparse default -> smoke-scale single epoch
+            args.epochs = 1
         # The tiny epoch finishes warmup almost immediately (warmup clamps
         # to steps_per_epoch-1, as in the reference), so the full 0.02 from-
         # scratch lr diverges at batch 2 — use a smoke-scale lr, f32 compute.
         args.lr = 0.002
-        args.save_dir = os.path.join(root, "ckpt")
+        if args.save_dir == "ckpt":  # keep an explicitly-passed save_dir
+            args.save_dir = os.path.join(root, "ckpt")
+        print(f"synthetic mode: save_dir={args.save_dir}")
         cfg = dataclasses.replace(
             cfg,
             compute_dtype="float32",

@@ -15,7 +15,7 @@ import os
 from ..config import (EvalConfig, ModelConfig, SEAMTrainConfig,
                       serving_model_config)
 from ..ckpt.io import CheckpointManager, restore_checkpoint
-from ..ckpt.torch_convert import load_torch_checkpoint
+from ..ckpt.torch_convert import load_pretrained_detector
 from ..data.movingfashion import MovingFashionDataset, product_batches
 from ..eval.movingfashion import evaluate
 from ..eval.runner import InferenceRunner
@@ -104,9 +104,10 @@ def main(argv=None):
     model, variables = init_model(cfg, video=True)
     if args.pretrained_path and os.path.exists(args.pretrained_path):
         # reference: strip "module." + load_saved_matchrcnn clone
-        # (train_movingfashion.py:85-89)
-        variables = load_torch_checkpoint(
-            args.pretrained_path, video=True, clone_match_to_aggregator=True
+        # (train_movingfashion.py:85-89); accepts the released torch file
+        # OR an orbax dir from our own cli.train_matchrcnn
+        variables = load_pretrained_detector(
+            args.pretrained_path, variables, clone_match_to_aggregator=True
         )
 
     steps_per_epoch = max(len(train_ds) // tcfg.n_shops, 1)

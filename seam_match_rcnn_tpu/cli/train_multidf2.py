@@ -14,7 +14,7 @@ import os
 from ..config import (EvalConfig, ModelConfig, SEAMTrainConfig,
                       serving_model_config)
 from ..ckpt.io import CheckpointManager, restore_checkpoint
-from ..ckpt.torch_convert import load_torch_checkpoint
+from ..ckpt.torch_convert import load_pretrained_detector
 from ..data.multidf2 import MultiDeepFashion2Dataset, product_batches
 from ..eval.multidf2 import evaluate
 from ..eval.runner import InferenceRunner
@@ -86,8 +86,8 @@ def main(argv=None):
 
     model, variables = init_model(cfg, video=True)
     if args.pretrained_path and os.path.exists(args.pretrained_path):
-        variables = load_torch_checkpoint(
-            args.pretrained_path, video=True, clone_match_to_aggregator=True
+        variables = load_pretrained_detector(
+            args.pretrained_path, variables, clone_match_to_aggregator=True
         )
 
     steps_per_epoch = max(len(train_ds) // tcfg.n_shops, 1)

@@ -257,3 +257,46 @@ def test_nlb_conv1d_as_dense_parity():
     d = tc._conv1d_as_dense({"g.weight": w, "g.bias": b}, "g")
     jout = x[0].T @ np.asarray(d["kernel"]) + np.asarray(d["bias"])  # [10, 8]
     np.testing.assert_allclose(jout, tout[0].T, rtol=1e-4, atol=1e-5)
+
+
+def test_load_pretrained_detector_orbax_phase1(tmp_path):
+    """Phase-1 -> phase-2 warm-start with OUR OWN orbax checkpoint (the
+    reference flow train_movingfashion.py:85-89 with native ckpts; round-2
+    gap fix — load_torch_checkpoint crashed on orbax dirs)."""
+    import jax.numpy as jnp
+
+    from seam_match_rcnn_tpu.ckpt.io import save_checkpoint
+    from seam_match_rcnn_tpu.ckpt.torch_convert import load_pretrained_detector
+    from seam_match_rcnn_tpu.config import ModelConfig, RPNConfig, RoIHeadsConfig
+    from seam_match_rcnn_tpu.models.matchrcnn import init_model
+
+    cfg = ModelConfig(
+        rpn=RPNConfig(pre_nms_top_n_test=20, post_nms_top_n_test=30),
+        roi_heads=RoIHeadsConfig(detections_per_img=4),
+        compute_dtype="float32",
+    )
+    _, p1_vars = init_model(cfg, video=False, canvas=(32, 32))
+    # make the phase-1 match trunk recognizable
+    p1 = jax.tree.map(lambda x: x, p1_vars["params"])
+    p1["match_predictor"]["trunk"]["linear"]["bias"] = jnp.full((256,), 7.0)
+    path = str(tmp_path / "p1")
+    save_checkpoint(path, {"state": {"params": p1,
+                                     "batch_stats": p1_vars["batch_stats"],
+                                     "step": 3},
+                           "epoch": 0})
+
+    _, base = init_model(cfg, video=True, canvas=(32, 32))
+    out = load_pretrained_detector(path, base, clone_match_to_aggregator=True)
+    # detector weights come from phase-1
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["match_predictor"]["trunk"]["linear"]["bias"]),
+        np.full((256,), 7.0))
+    # aggregator trunk cloned from the match predictor (load_saved_matchrcnn)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["temporal_aggregator"]["trunk"]["linear"]["bias"]),
+        np.full((256,), 7.0))
+    # aggregator extras (nlb / attention) present from the base init
+    assert "nlb" in out["params"]["temporal_aggregator"]
+    assert "attention_scorer" in out["params"]["temporal_aggregator"]
+    # batch_stats carried over for the cloned trunk
+    assert "temporal_aggregator" in out["batch_stats"]
