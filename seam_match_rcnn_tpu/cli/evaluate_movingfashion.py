@@ -33,6 +33,10 @@ def build_argparser():
                         "(data/synthetic.py: real mp4 videos + schema-exact "
                         "JSON) and evaluate on it — end-to-end smoke run "
                         "of the whole stack with no dataset downloads")
+    p.add_argument("--fp16_gallery", action="store_true",
+                   help="score the gallery with the reference's numpy-fp16 "
+                        "chain (bit-faithful rank parity; default: f32 on "
+                        "device, algebraically identical)")
     p.add_argument("--device_ingest", action="store_true",
                    help="upload raw frames and run resize/canvas placement "
                         "fused on the TPU instead of host cv2 (eval/runner "
@@ -74,7 +78,8 @@ def main(argv=None):
         EvalConfig(score_threshold=args.score_threshold,
                    frames_per_product=args.frames_per_shop_test,
                    first_n_withvideo=args.first_n_withvideo,
-                   ingest="device" if args.device_ingest else "host"),
+                   ingest="device" if args.device_ingest else "host",
+                   gallery_dtype="fp16" if args.fp16_gallery else "f32"),
         out_dir=getattr(args, "out_dir", "logs_mf"),
     )
 

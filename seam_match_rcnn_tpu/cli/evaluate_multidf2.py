@@ -26,6 +26,10 @@ def build_argparser():
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic DeepFashion2 fixture and "
                         "evaluate on it — dataset-free end-to-end smoke run")
+    p.add_argument("--fp16_gallery", action="store_true",
+                   help="score the gallery with the reference's numpy-fp16 "
+                        "chain (bit-faithful rank parity; default: f32 on "
+                        "device, algebraically identical)")
     p.add_argument("--device_ingest", action="store_true",
                    help="upload raw frames and run resize/canvas placement "
                         "fused on the TPU instead of host cv2 (eval/runner "
@@ -73,6 +77,7 @@ def main(argv=None):
                    frames_per_product=args.frames_per_shop_test,
                    first_n_withvideo=args.first_n_withvideo,
                    ingest="device" if args.device_ingest else "host",
+                   gallery_dtype="fp16" if args.fp16_gallery else "f32",
                    tracking_threshold=0.7),
         out_dir=getattr(args, "out_dir", "logs_mdf2"),
     )

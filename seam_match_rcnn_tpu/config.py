@@ -221,6 +221,11 @@ class EvalConfig:
     # reference parity) or "device" (raw-frame upload + TPU-fused bilinear
     # resize/canvas placement — eval/runner.py, PERF.md lever 6).
     ingest: str = "host"
+    # Gallery scoring dtype: "f32" (device matmul expansion, algebraically
+    # identical) or "fp16" (the reference's numpy-fp16 chain,
+    # evaluate_movingfashion.py:94-121 — bit-faithful rank parity for the
+    # real-data gate; see eval/gallery.score_matrix_fp16).
+    gallery_dtype: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)

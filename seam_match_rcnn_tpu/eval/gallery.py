@@ -40,15 +40,48 @@ def _bucket(n: int) -> int:
     return b
 
 
+def score_matrix_fp16(
+    street: np.ndarray, shop: np.ndarray, w: np.ndarray, b: np.ndarray,
+    chunk: int = 512,
+) -> np.ndarray:
+    """Bit-faithful reproduction of the reference's numpy-fp16 scoring
+    chain (/root/reference/evaluate_movingfashion.py:94-121): fp16
+    descriptors, fp16 squared-difference tensor, fp16 matmul + bias, fp16
+    softmax.  Use for strict rank parity during the real-data gate — fp16
+    rounding can flip near-tie neighbors that the f32 path orders
+    differently (README parity notes).  Host-side numpy on purpose (the
+    reference's rounding behavior IS numpy's); chunked over queries to
+    bound the [chunk, G, 256] intermediate."""
+    street16 = np.asarray(street).astype(np.float16)
+    shop16 = np.asarray(shop).astype(np.float16)
+    wt = np.asarray(w).transpose().astype(np.float16)
+    b16 = np.asarray(b).astype(np.float16)
+    outs = []
+    for i in range(0, max(len(street16), 1), chunk):
+        part = street16[i : i + chunk]
+        if len(part) == 0:
+            break
+        sq = (shop16[np.newaxis] - part[:, np.newaxis]) ** 2
+        raw = sq @ wt + b16
+        cls = np.exp(raw) / np.exp(raw).sum(2)[:, :, np.newaxis]
+        outs.append(cls[:, :, 1])
+    if not outs:
+        return np.zeros((0, len(shop16)), np.float32)
+    return np.concatenate(outs, 0).astype(np.float32)
+
+
 def score_matrix(
     street: np.ndarray, shop: np.ndarray, w: np.ndarray, b: np.ndarray,
-    chunk: int = 4096,
+    chunk: int = 4096, dtype: str = "f32",
 ) -> np.ndarray:
     """softmax((street−shop)²·Wᵀ+b)[..,1] for all pairs -> [Q, G] float32.
 
     Chunked over queries to bound device memory; Q/G padded to power-of-two
-    buckets for compile-cache stability.
+    buckets for compile-cache stability.  ``dtype="fp16"`` switches to the
+    reference's numpy-fp16 chain (score_matrix_fp16) for strict parity.
     """
+    if dtype == "fp16":
+        return score_matrix_fp16(street, shop, w, b)
     street = np.asarray(street, np.float32)
     shop_np = np.asarray(shop, np.float32)
     q, g = len(street), len(shop_np)

@@ -151,7 +151,7 @@ def evaluate(
     st_box = np.stack(street["box"])
 
     # PHASE B — one big score matrix on device.
-    scores_qg = score_matrix(st_feat, shop_mat, w, b)
+    scores_qg = score_matrix(st_feat, shop_mat, w, b, dtype=cfg.gallery_dtype)
 
     acc = _Acc(cfg.k_thresholds)
     count_reg = count_hard = 0
@@ -172,7 +172,7 @@ def evaluate(
             count_hard += 1
 
         # TRACKING (oracle GT selection)
-        self_sim = score_matrix(st_feat[rows], st_feat[rows], w, b)
+        self_sim = score_matrix(st_feat[rows], st_feat[rows], w, b, dtype=cfg.gallery_dtype)
         tracks = build_tracklets(
             self_sim, st_score[rows], st_img[rows], cfg.tracking_threshold
         )
@@ -216,7 +216,7 @@ def evaluate(
 
         # AVG DESC
         avg = st_feat[best_rows].mean(0, keepdims=True)
-        avg_scores = score_matrix(avg, shop_mat, w, b)[0]
+        avg_scores = score_matrix(avg, shop_mat, w, b, dtype=cfg.gallery_dtype)[0]
         rank = int(np.nonzero(np.argsort(avg_scores)[::-1] == pidx)[0][0])
         acc.add("avg_desc", rank, source)
 
@@ -240,7 +240,7 @@ def evaluate(
             seqs[i, : len(s)] = s
             mask[i, : len(s)] = True
         agg = _aggregate_batch(model, variables, seqs, mask)
-        agg_scores = score_matrix(agg, shop_aggr_mat, aggr_w, aggr_b)
+        agg_scores = score_matrix(agg, shop_aggr_mat, aggr_w, aggr_b, dtype=cfg.gallery_dtype)
         for i, (pidx, source, key, _) in enumerate(aggr_jobs):
             rank = int(np.nonzero(np.argsort(agg_scores[i])[::-1] == pidx)[0][0])
             acc.add("aggr_desc", rank, source)

@@ -108,7 +108,7 @@ def evaluate(
     st_prod = np.asarray(street["prod"])
     st_score = np.asarray(street["score"])
 
-    scores_qg = score_matrix(st_feat, shop_mat, w, b)
+    scores_qg = score_matrix(st_feat, shop_mat, w, b, dtype=cfg.gallery_dtype)
     ks = list(cfg.k_thresholds)
     hits = {s: np.zeros(len(ks), np.int64) for s in STRATEGIES}
     all_ranks = []
@@ -144,7 +144,7 @@ def evaluate(
         aggr_jobs.append((pidx, key, st_aggr[rows]))
 
         avg = st_feat[rows].mean(0, keepdims=True)
-        avg_scores = score_matrix(avg, shop_mat, w, b)[0]
+        avg_scores = score_matrix(avg, shop_mat, w, b, dtype=cfg.gallery_dtype)[0]
         rank = int(np.nonzero(np.argsort(avg_scores)[::-1] == pidx)[0][0])
         for j, k in enumerate(ks):
             if rank < k:
@@ -171,7 +171,7 @@ def evaluate(
             seqs[i, : len(s)] = s
             mask[i, : len(s)] = True
         agg = _aggregate_batch(model, variables, seqs, mask)
-        agg_scores = score_matrix(agg, shop_aggr_mat, aggr_w, aggr_b)
+        agg_scores = score_matrix(agg, shop_aggr_mat, aggr_w, aggr_b, dtype=cfg.gallery_dtype)
         for i, (pidx, key, _) in enumerate(aggr_jobs):
             rank = int(np.nonzero(np.argsort(agg_scores[i])[::-1] == pidx)[0][0])
             for j, k in enumerate(ks):

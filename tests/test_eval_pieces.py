@@ -83,3 +83,91 @@ def test_metric_logger_smoothing():
     assert "loss" in str(logger)
     out = list(logger.log_every(range(3), print_freq=2, header="t", total=3))
     assert out == [0, 1, 2]
+
+
+def test_score_matrix_fp16_matches_reference_chain():
+    """score_matrix(dtype='fp16') reproduces the reference's numpy-fp16
+    scoring bit-for-bit (evaluate_movingfashion.py:94-121) and stays close
+    to (but not necessarily identical with) the f32 device path."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.eval.gallery import score_matrix
+
+    rng = np.random.RandomState(0)
+    street = rng.randn(7, 256).astype(np.float32)
+    shop = rng.randn(5, 256).astype(np.float32)
+    w = rng.randn(2, 256).astype(np.float32) * 0.05
+    b = rng.randn(2).astype(np.float32) * 0.05
+
+    # the reference chain, written verbatim in numpy fp16
+    sm = shop.astype(np.float16)
+    stm = street.astype(np.float16)
+    sq = (sm[np.newaxis] - stm[:, np.newaxis]) ** 2
+    raw = sq @ w.transpose().astype(np.float16) + b.astype(np.float16)
+    cls = np.exp(raw) / np.exp(raw).sum(2)[:, :, np.newaxis]
+    want = cls[:, :, 1].astype(np.float32)
+
+    got = score_matrix(street, shop, w, b, dtype="fp16")
+    np.testing.assert_array_equal(got, want)
+
+    f32 = score_matrix(street, shop, w, b)
+    np.testing.assert_allclose(got, f32, atol=2e-3)
+
+
+def test_evalconfig_gallery_dtype_reaches_scoring(monkeypatch):
+    """EvalConfig(gallery_dtype='fp16') must flow into every score_matrix
+    call of the MovingFashion harness (driven with a stub runner so the
+    harness actually reaches the scoring phase)."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.config import EvalConfig
+    from seam_match_rcnn_tpu.eval import movingfashion as mf
+
+    seen = []
+    orig = mf.score_matrix
+
+    def spy(*a, **kw):
+        seen.append(kw.get("dtype", "f32"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mf, "score_matrix", spy)
+
+    rng = np.random.RandomState(0)
+
+    def det(n):
+        return {
+            "scores": np.linspace(0.9, 0.5, n).astype(np.float32),
+            "valid": np.ones(n, bool),
+            "boxes": np.asarray([[1, 1, 20 + i, 30 + i] for i in range(n)],
+                                np.float32),
+            "match_features": rng.randn(n, 256).astype(np.float32),
+            "aggr_features": rng.randn(n, 256).astype(np.float32),
+        }
+
+    def stub_runner(images):
+        return [det(2) for _ in images]
+
+    variables = {"params": {
+        "match_predictor": {"last": {
+            "kernel": rng.randn(256, 2).astype(np.float32) * 0.05,
+            "bias": np.zeros(2, np.float32)}},
+        "temporal_aggregator": {"last": {
+            "kernel": rng.randn(256, 2).astype(np.float32) * 0.05,
+            "bias": np.zeros(2, np.float32)}},
+    }}
+    products = [{
+        "images": [np.zeros((32, 40, 3), np.float32)] * 4,
+        "tracklet_gt": [np.asarray([1, 1, 20, 30], np.float32)] * 3,
+        "source": 1,
+        "key": "p0",
+        "has_video": True,
+    }]
+    # the aggr-desc strategy calls model.apply on padded sequences; stub it
+    monkeypatch.setattr(
+        mf, "_aggregate_batch",
+        lambda model, variables, seqs, mask: seqs.mean(axis=1))
+    mf.evaluate(None, variables, products,
+                cfg=EvalConfig(gallery_dtype="fp16", frames_per_product=3),
+                runner=stub_runner, save_artifacts=False)
+    assert len(seen) >= 3  # gallery, self-sim, avg/aggr scoring all ran
+    assert all(d == "fp16" for d in seen)

@@ -90,7 +90,8 @@ def run_profile(profile, args):
         _eval_products(ds, args.frames_per_shop_test, args.first_n_withvideo),
         EvalConfig(score_threshold=args.score_threshold,
                    frames_per_product=args.frames_per_shop_test,
-                   first_n_withvideo=args.first_n_withvideo),
+                   first_n_withvideo=args.first_n_withvideo,
+                   gallery_dtype="fp16" if args.fp16_gallery else "f32"),
         out_dir=os.path.join(args.out_dir, f"logs_mf_{profile}"),
     )
     return {"top1_single": r1, "top1_avg_desc": r2, "top1_aggr_desc": r3}
@@ -132,6 +133,8 @@ def main(argv=None):
     p.add_argument("--score_threshold", type=float, default=0.0)
     p.add_argument("--noise", type=_flag, default=True)
     p.add_argument("--out_dir", type=str, default=".")
+    p.add_argument("--fp16_gallery", action="store_true",
+                   help="reference numpy-fp16 gallery scoring chain")
     p.add_argument("--reference_csv", type=str, default=None,
                    help="logs_mf CSV produced by the torch reference")
     p.add_argument("--synthetic", action="store_true",
