@@ -54,6 +54,11 @@ def build_argparser():
     p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
     p.add_argument("--start_ckpt", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train one epoch on a generated synthetic "
+                        "MultiDF2 fixture (products with >= 3 street "
+                        "views) — dataset-free end-to-end smoke of the "
+                        "aggregator-only MultiDF2 loop")
     p.add_argument("--device_ingest", action="store_true",
                    help="raw-frame upload + TPU-fused resize for the frozen-"
                         "detector inference pass (eval/runner ingest='device')")
@@ -70,6 +75,26 @@ def main(argv=None):
 
     initialize_distributed()  # no-op unless SEAM_MULTIHOST=1
     args = build_argparser().parse_args(argv)
+    if args.synthetic:
+        import tempfile
+
+        from ..data import convert as conv
+        from ..data.synthetic import make_synthetic_df2
+
+        root = tempfile.mkdtemp(prefix="seam_synth_mdf2_")
+        # >= 3 street views per product: the MultiDF2 aggregation loss
+        # needs >= 3 winners per sequence (match_head.py:406)
+        img_dir, ann_dir = make_synthetic_df2(
+            root, n_products=3, views_per_side=4, image_size=(160, 200))
+        ann = os.path.join(root, "annots.json")
+        conv.convert(img_dir, ann_dir, ann)
+        args.root_train = args.root_test = img_dir
+        args.train_annots = args.test_annots = ann
+        args.n_shops, args.frames_per_shop_train = 2, 3
+        args.frames_per_shop_test = 3
+        args.epochs, args.eval_freq, args.print_freq = 1, 1, 1
+        args.save_dir = os.path.join(root, "ckpt")
+        args.pretrained_path = ""
     cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
     tcfg = SEAMTrainConfig(
         lr=args.lr, weight_decay=args.w_decay, milestones=tuple(args.milestones),
