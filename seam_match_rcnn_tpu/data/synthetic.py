@@ -31,6 +31,7 @@ def _garment_image(size, box, color, bg=32, nprng=None):
 def make_synthetic_df2(
     out_dir: str, n_products: int = 4, views_per_side: int = 2,
     image_size: Tuple[int, int] = (160, 200), seed: int = 0,
+    colors=None,
 ) -> Tuple[str, str]:
     """DeepFashion2 raw layout: image/ + annos/ per-image JSONs.
 
@@ -45,7 +46,11 @@ def make_synthetic_df2(
     os.makedirs(ann_dir, exist_ok=True)
     idx = 0
     for p in range(n_products):
-        color = [rng.randrange(64, 255) for _ in range(3)]
+        # optional fixed palette: share product identities between fixtures
+        # (e.g. train on DF2, retrieve on MovingFashion with the SAME
+        # garments — tools/validate_fast_profile.py)
+        color = (list(colors[p]) if colors is not None
+                 else [rng.randrange(64, 255) for _ in range(3)])
         cat = rng.randrange(1, 14)
         for source in ("user", "shop"):
             for _ in range(views_per_side):
@@ -78,6 +83,7 @@ def make_synthetic_df2(
 def make_synthetic_movingfashion(
     out_dir: str, n_products: int = 3, n_frames: int = 12,
     frame_size: Tuple[int, int] = (160, 200), seed: int = 0,
+    colors=None,
 ) -> str:
     """MovingFashion layout: imgs/, videos/ (mp4), + a JSON with the schema
     at /root/reference/datasets/MFDataset.py:16-25 including tracklets.
@@ -90,7 +96,8 @@ def make_synthetic_movingfashion(
     h, w = frame_size
     for p in range(n_products):
         pid = f"prod{p:03d}"
-        color = [rng.randrange(64, 255) for _ in range(3)]
+        color = (list(colors[p]) if colors is not None
+                 else [rng.randrange(64, 255) for _ in range(3)])
         bw, bh = rng.randrange(40, 70), rng.randrange(50, 80)
         shop_box = [20, 20, 20 + bw, 20 + bh]
         shop = _garment_image(frame_size, shop_box, color, nprng=nprng)
