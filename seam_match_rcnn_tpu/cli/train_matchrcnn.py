@@ -35,6 +35,10 @@ def build_argparser():
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--lr", type=float, default=0.02)
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--clip_grad_norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off, reference "
+                        "parity); use ~5.0 when training from scratch "
+                        "without --imagenet_backbone")
     p.add_argument("--milestones", type=int, nargs="+", default=[6, 9])
     p.add_argument("--gamma", type=float, default=0.1)
     p.add_argument("--save_epochs", type=int, default=2)
@@ -105,6 +109,7 @@ def main(argv=None):
         lr=args.lr, momentum=args.momentum, milestones=tuple(args.milestones),
         gamma=args.gamma, epochs=args.epochs, batch_size=args.batch_size,
         save_epochs=args.save_epochs, print_freq=args.print_freq, seed=args.seed,
+        clip_grad_norm=args.clip_grad_norm,
     )
 
     dataset = DeepFashion2Dataset(
@@ -132,7 +137,8 @@ def main(argv=None):
         tcfg.lr, tcfg.milestones, tcfg.gamma, steps_per_epoch,
         tcfg.warmup_iters, tcfg.warmup_factor,
     )
-    tx = sgd(schedule, tcfg.momentum, tcfg.weight_decay)
+    tx = sgd(schedule, tcfg.momentum, tcfg.weight_decay,
+             clip_grad_norm=tcfg.clip_grad_norm)
     state = create_train_state(variables, tx)
     start_ep = 0
     if args.start_ckpt:

@@ -173,6 +173,12 @@ class TrainConfig:
     warmup_factor: float = 1.0 / 1000
     # Reference CLI default (/root/reference/train_matchrcnn.py:115).
     batch_size: int = 8
+    # Global-norm gradient clipping; 0 = off (reference parity — the
+    # reference never clips, but it also never trains from scratch:
+    # without an ImageNet backbone the mask branch diverges at full
+    # geometry (measured in tools/validate_fast_profile.py).  Set e.g. 5.0
+    # for from-scratch runs.
+    clip_grad_norm: float = 0.0
     save_epochs: int = 2
     print_freq: int = 100
     seed: int = 0

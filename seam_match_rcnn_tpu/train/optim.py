@@ -43,10 +43,17 @@ def sgd(
     schedule,
     momentum: float = 0.9,
     weight_decay: float = 0.0,
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
     """torch.optim.SGD semantics: wd added to the gradient, then heavyweight
-    momentum (dampening 0), update = -lr * buf."""
+    momentum (dampening 0), update = -lr * buf.
+
+    ``clip_grad_norm`` > 0 prepends global-norm clipping — NOT reference
+    behavior (off by default); needed for from-scratch training without an
+    ImageNet backbone (TrainConfig.clip_grad_norm)."""
     parts = []
+    if clip_grad_norm:
+        parts.append(optax.clip_by_global_norm(clip_grad_norm))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.trace(decay=momentum, nesterov=False))

@@ -148,3 +148,22 @@ def test_config_dataclass_defaults_match_reference_passed_values():
     assert e.tracking_threshold == 0.3  # evaluate_movingfashion.py:16
     assert e.first_n_withvideo == 100
     assert e.infer_chunk == 11  # evaluate_movingfashion.py:30
+
+
+def test_clip_grad_norm_off_by_default():
+    """Gradient clipping is NOT reference behavior — off unless asked."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.train.optim import sgd
+
+    a = train_matchrcnn.build_argparser().parse_args([])
+    assert a.clip_grad_norm == 0.0
+    assert C.TrainConfig().clip_grad_norm == 0.0
+
+    # clipping actually engages when requested
+    import jax.numpy as jnp
+
+    params = {"w": jnp.zeros((3,))}
+    tx = sgd(lambda s: 1.0, momentum=0.0, clip_grad_norm=1.0)
+    updates, _ = tx.update({"w": jnp.full((3,), 100.0)}, tx.init(params), params)
+    assert np.linalg.norm(np.asarray(updates["w"])) <= 1.0 + 1e-5
