@@ -159,3 +159,20 @@ def test_tpu_exact_fixup_compiled():
     fixed = np.asarray(apply_exact_fixup(
         [f[None] for f in feats], rois[None], got[None], 7, 2, budget=8))[0]
     np.testing.assert_allclose(fixed, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tpu_pairwise_scores_compiled():
+    """Gallery-scoring Pallas kernel compiled on the chip vs the XLA matmul
+    expansion (eval/gallery uses it for galleries >= 128 rows on TPU)."""
+    from seam_match_rcnn_tpu.ops.pairwise import pairwise_match_scores
+    from seam_match_rcnn_tpu.ops.pallas_kernels import pairwise_scores
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(300, 256).astype(np.float32))
+    y = jnp.asarray(rng.randn(200, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 256).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(2).astype(np.float32) * 0.05)
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(pairwise_match_scores(x, y, w, b))
+    got = np.asarray(pairwise_scores(x, y, w, b, interpret=False))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
