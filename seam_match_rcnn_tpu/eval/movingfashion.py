@@ -89,11 +89,16 @@ def evaluate(
       has_video:    bool — False replicates first_n_withvideo gallery-only
                     entries (/root/reference/evaluate_movingfashion.py:50-51)
     """
+    from ..data.prefetch import prefetch
     from .runner import InferenceRunner
 
     if runner is None:
         runner = InferenceRunner(model, variables, chunk=cfg.infer_chunk,
                                  ingest=cfg.ingest)
+    # Overlap the NEXT product's host work (video decode / jpeg load in the
+    # products generator) with the device inference of the current one —
+    # the reference serializes DataLoader decode with the no_grad pass.
+    products = prefetch(products)
 
     shop_feats, shop_aggr, shop_sources, shop_keys = [], [], [], []
     street = {k: [] for k in ("feat", "aggr", "prod", "img", "score", "box")}

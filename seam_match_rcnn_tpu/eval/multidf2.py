@@ -48,11 +48,16 @@ def evaluate(
 ) -> Tuple[float, float, float]:
     """products yields dicts: images (shop first), targets (per image dict
     with boxes/styles/pair_ids), key, has_video."""
+    from ..data.prefetch import prefetch
     from .runner import InferenceRunner
 
     if runner is None:
         runner = InferenceRunner(model, variables, chunk=cfg.infer_chunk,
                                  ingest=cfg.ingest)
+    # Overlap the NEXT product's host work (video decode / jpeg load in the
+    # products generator) with the device inference of the current one —
+    # the reference serializes DataLoader decode with the no_grad pass.
+    products = prefetch(products)
 
     p = variables["params"]
     w = np.asarray(p["match_predictor"]["last"]["kernel"]).T

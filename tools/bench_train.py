@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--roi-backend", default="pallas", choices=["xla", "pallas"],
                     help="RoIAlign backend (pallas = differentiable serving "
                     "kernel with explicit exact adjoint; 1.36x step speedup)")
+    ap.add_argument("--accum", action="store_true",
+                    help="time the (grad, accum, apply) triple the phase-1 "
+                    "CLI now uses (single-bucket weight 1.0) instead of the "
+                    "fused step")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +46,9 @@ def main():
 
     from seam_match_rcnn_tpu.models.matchrcnn import init_model
     from seam_match_rcnn_tpu.train.optim import multistep_warmup_schedule, sgd
-    from seam_match_rcnn_tpu.train.steps import create_train_state, make_phase1_step
+    from seam_match_rcnn_tpu.train.steps import (create_train_state,
+                                                 make_phase1_grad_apply,
+                                                 make_phase1_step)
 
     cfg = ModelConfig(remat_backbone=args.remat,
                       roi_heads=RoIHeadsConfig(
@@ -51,7 +57,14 @@ def main():
     tx = sgd(multistep_warmup_schedule(0.02, (6, 9), 0.1, 1000, 1000, 1e-3),
              momentum=0.9)
     state = create_train_state(variables, tx)
-    step = make_phase1_step(model, tx)
+    if args.accum:
+        grad_fn, _, apply_fn = make_phase1_grad_apply(model, tx)
+
+        def step(st, batch, key):
+            g2, losses, stats = grad_fn(st, batch, key, jnp.float32(1.0))
+            return apply_fn(st, g2, stats), losses
+    else:
+        step = make_phase1_step(model, tx)
 
     b, h, w, g = args.batch, args.height, args.width, 8
     rng = np.random.RandomState(0)
