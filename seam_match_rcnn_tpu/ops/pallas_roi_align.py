@@ -15,9 +15,11 @@ hardware:
     approximation; the XLA gather path stays exact and is the default for
     training, while serving_model_config selects this kernel: ~3.8× serving
     throughput end-to-end on the dev chip, see PERF.md).  The transfer is
-    split at row ROWS0: the 16-row tail moves only when the roi's vertical
-    footprint reaches it — the kernel is DMA-byte-bound and ~55% of serving
-    rois skip the tail exactly (zero interp weight there);
+    split at the SPLITS row boundaries: pieces past the roi's vertical
+    footprint never move (~55% of serving rois skip rows >= 24 exactly —
+    zero interp weight there), and the pooling matmul + its wc expansion
+    shrink to the first boundary covering the footprint (gate_matmul),
+    cutting MXU K and VPU work above the DMA floor;
   * bilinear sampling + the sampling_ratio² average pool become ONE MXU
     matmul with the combined Kronecker pooling operator built on the VPU:
         out = (W_y ⊗ W_x) @ patch    [out², PATCH·PATCH_W] @ [PATCH·PATCH_W, C]
@@ -58,6 +60,14 @@ ROWS0 = 24      # rows in the unconditional DMA piece; rows [ROWS0, PATCH)
                 # 0-weight x stale contributes exactly 0).  ~55% of serving
                 # rois skip the tail -> ~20% fewer bytes on a DMA-byte-bound
                 # kernel (PERF.md).
+SPLITS = (16, 24, 32)  # default piece boundaries.  Row-gating the DMA alone
+                # was insensitive to the split choice (PERF.md round-2 scan:
+                # best 0.7% ~= noise), but with gate_matmul the pooling
+                # matmul's K and the wc expansion shrink to the first
+                # boundary >= the footprint, and finer pieces pay: measured
+                # (16,24,32) 1.837 us/roi vs (24) 1.929 vs ungated 2.151 at
+                # the serving roi mix (tools/exp_matmul_gate.py,
+                # tools/exp_row_splits.py).
 ROI_CHUNK = 2048  # rois per pallas_call (bounds the SMEM prefetch arrays)
 
 
@@ -234,7 +244,7 @@ def quantize_features_int8(features: Sequence[jnp.ndarray]):
 
 def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
             f0, f1, f2, f3, *rest,
-            output_size, sampling_ratio, dequant, mini, splits):
+            output_size, sampling_ratio, dequant, mini, splits, gate_matmul):
     if dequant:
         scales_ref, out_ref, patch, sems = rest
     else:
@@ -309,44 +319,70 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
         wyR = jnp.concatenate(
             [jnp.broadcast_to(wy[t:t + 1], (o, PATCH)) for t in range(o)], 0)
         wxR = jnp.concatenate([wx] * o, axis=0)            # [o², PATCH_W]
-        wc = jnp.concatenate(
-            [wyR[:, py:py + 1] * wxR for py in range(PATCH)], axis=1)
-        # The MXU truncates f32 operands to bf16 at default precision; keep
-        # f32 inputs exact via Precision.HIGHEST.
-        if pdt == jnp.int8:
-            # int8 x int8 MXU path: quantize the pooling operator to int8
-            # (entries in [0, 1], global scale 127) so the DMA-halving int8
-            # pyramid is not throttled by a VPU int8->bf16 patch cast.
-            # Extra error <= 0.5/127 per weight entry (documented in the
-            # int8 drift test); the int8 profile is approximate by contract.
-            wq = jnp.clip(jnp.round(wc * 127.0), -127.0, 127.0).astype(jnp.int8)
-            pooled = jax.lax.dot_general(
-                wq, patch[k][:].reshape(PATCH * PATCH_W, c),
-                dimension_numbers=dn, preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * (1.0 / 127.0)          # [o², C]
-        elif pdt == jnp.float32:
-            pooled = jax.lax.dot_general(
-                wc, patch[k][:].reshape(PATCH * PATCH_W, c),
-                dimension_numbers=dn, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+
+        def pool_rows(rows_used, k=k):
+            # wy columns [nr, PATCH) are exactly zero (the invariant behind
+            # the tail-DMA gating), so a roi with nr <= rows_used pools
+            # identically from the first rows_used patch rows — smaller K on
+            # the MXU and fewer VPU expansion concats.
+            wc = jnp.concatenate(
+                [wyR[:, py:py + 1] * wxR for py in range(rows_used)], axis=1)
+            pm = patch[k][:rows_used].reshape(rows_used * PATCH_W, c)
+            # The MXU truncates f32 operands to bf16 at default precision;
+            # keep f32 inputs exact via Precision.HIGHEST.
+            if pdt == jnp.int8:
+                # int8 x int8 MXU path: quantize the pooling operator to
+                # int8 (entries in [0, 1], global scale 127) so the
+                # DMA-halving int8 pyramid is not throttled by a VPU
+                # int8->bf16 patch cast.  Extra error <= 0.5/127 per weight
+                # entry (documented in the int8 drift test); the int8
+                # profile is approximate by contract.
+                wq = jnp.clip(jnp.round(wc * 127.0), -127.0,
+                              127.0).astype(jnp.int8)
+                pooled = jax.lax.dot_general(
+                    wq, pm, dimension_numbers=dn,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (1.0 / 127.0)      # [o², C]
+            elif pdt == jnp.float32:
+                pooled = jax.lax.dot_general(
+                    wc, pm, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                # bf16 patches feed the MXU directly (casting the
+                # ~0.5M-element patch on the VPU costs more than the
+                # matmul).
+                pooled = jax.lax.dot_general(
+                    wc.astype(jnp.bfloat16), pm, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                )
+            if dequant:
+                pooled = pooled * scales_ref[lvl_ref[i * mini + k]]
+            out_ref[k] = pooled.reshape(o, o, c)
+
+        row_opts = list(bounds[1:])
+        if not gate_matmul or len(row_opts) == 1:
+            pool_rows(PATCH)
         else:
-            # bf16 patches feed the MXU directly (casting the ~0.5M-element
-            # patch on the VPU costs more than the matmul).
-            pooled = jax.lax.dot_general(
-                wc.astype(jnp.bfloat16),
-                patch[k][:].reshape(PATCH * PATCH_W, c),
-                dimension_numbers=dn, preferred_element_type=jnp.float32,
-            )
-        if dequant:
-            pooled = pooled * scales_ref[lvl_ref[i * mini + k]]
-        out_ref[k] = pooled.reshape(o, o, c)
+            # One branch per piece boundary, mutually exclusive + exhaustive
+            # on nr ∈ [1, PATCH]; every row < the selected boundary is
+            # DMA-fresh by the piece-gating conditions above.
+            nr_k = nrows_ref[i * mini + k]
+            for bi, ru in enumerate(row_opts):
+                if bi == 0:
+                    cond = nr_k <= ru
+                elif bi == len(row_opts) - 1:
+                    cond = nr_k > row_opts[bi - 1]
+                else:
+                    cond = (nr_k > row_opts[bi - 1]) & (nr_k <= ru)
+                pl.when(cond)(functools.partial(pool_rows, ru))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "sampling_ratio", "interpret", "roi_chunk",
-                     "splits"),
+                     "splits", "gate_matmul"),
 )
 def pallas_roi_align_batched(
     features: Sequence[jnp.ndarray],
@@ -357,7 +393,8 @@ def pallas_roi_align_batched(
     interpret: bool | str = "auto",
     roi_chunk: int = ROI_CHUNK,
     scales: jnp.ndarray | None = None,
-    splits: Tuple[int, ...] = (ROWS0,),
+    splits: Tuple[int, ...] = SPLITS,
+    gate_matmul: bool = True,
 ) -> jnp.ndarray:
     """Batched multi-level RoIAlign.
 
@@ -404,7 +441,7 @@ def pallas_roi_align_batched(
     assert all(0 < s < PATCH for s in splits) and list(splits) == sorted(splits)
     kernel = functools.partial(
         _kernel, output_size=output_size, sampling_ratio=sampling_ratio,
-        dequant=dequant, mini=mini, splits=splits,
+        dequant=dequant, mini=mini, splits=splits, gate_matmul=gate_matmul,
     )
     assert roi_chunk % mini == 0
     # Mosaic requires the geom block's sublane dim divisible by 8: pad each
