@@ -79,6 +79,25 @@ def _reimpose_types(target: Any, restored: Any) -> Any:
     return restored  # leaf (array / scalar / None)
 
 
+def restore_training_checkpoint(path: str, target: Dict[str, Any]):
+    """Restore an epoch-level or mid-epoch training checkpoint.
+
+    ``target`` is the epoch-level payload structure (e.g. ``{"state":
+    TrainState._asdict(), "epoch": 0}``); restored state keeps its
+    container types (NamedTuple opt_state chains survive).  Returns
+    ``(payload, is_mid)``: ``is_mid`` is True when the checkpoint was
+    written by ``CheckpointManager.save_mid`` — the payload then also has
+    ``step_in_epoch`` (and ``rng`` for loops that thread one)."""
+    raw = restore_checkpoint(path)
+    is_mid = "step_in_epoch" in raw
+    tgt: Dict[str, Any] = dict(target)
+    if is_mid:
+        tgt.setdefault("step_in_epoch", 0)
+        if "rng" in raw:
+            tgt.setdefault("rng", raw["rng"])
+    return _reimpose_types(tgt, raw), is_mid
+
+
 class CheckpointManager:
     """Rank-0-style periodic saver (reference saves every ``save_epochs``
     plus a final one)."""
@@ -92,10 +111,60 @@ class CheckpointManager:
         if final or (epoch % self.save_epochs == 0):
             name = f"epoch{epoch:03d}" if not final else "final"
             save_checkpoint(os.path.join(self.directory, name), payload)
+            self._clear_mid()
+
+    def _clear_mid(self):
+        """An epoch-level save supersedes the mid slot — drop it (and any
+        crash-leftover staging dirs) so ``latest()`` never resumes from a
+        stale mid-epoch snapshot."""
+        import shutil
+
+        for name in os.listdir(self.directory):
+            if name == "mid" or name.startswith(".mid-") \
+                    or name.endswith(".orbax-checkpoint-tmp"):
+                p = os.path.join(self.directory, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+
+    def save_mid(self, payload: Dict[str, Any]) -> str:
+        """Overwriting mid-epoch slot for preemption-safe resume (no
+        reference equivalent — torch.save only runs between epochs,
+        /root/reference/train_matchrcnn.py:90-105).  Written to a
+        ``.mid-<pid>-<n>`` staging dir first, then swapped in: a kill
+        during the write leaves the previous ``mid`` intact; a kill
+        between the rmtree and the rename leaves a complete staging dir
+        to recover from.
+
+        The staging path is UNIQUE per save: tensorstore's process-wide
+        OCDBT cache is keyed by path, so reusing one tmp dir makes the
+        second save's commit reference the first save's (renamed-away)
+        data files and fail NOT_FOUND in orbax's writer threads — caught
+        live by the kill-and-resume CLI drive."""
+        import shutil
+
+        self._mid_seq = getattr(self, "_mid_seq", -1) + 1
+        tmp = os.path.join(self.directory,
+                           f".mid-{os.getpid()}-{self._mid_seq}")
+        dst = os.path.join(self.directory, "mid")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        save_checkpoint(tmp, payload)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(tmp, dst)
+        return dst
 
     def latest(self) -> Optional[str]:
+        """Newest checkpoint dir.  Alphabetical order gives
+        epochNNN < final < mid, which is also recency order: a ``mid``
+        slot only survives until the next epoch-level save
+        (``_clear_mid``), so when present it is the newest state.
+        A crash-leftover ``.mid-*`` staging dir is complete (written
+        before the swap) but never preferred over a real slot."""
         entries = sorted(
             e for e in os.listdir(self.directory)
             if os.path.isdir(os.path.join(self.directory, e))
+            and not e.startswith(".")
+            and not e.endswith(".orbax-checkpoint-tmp")
         )
         return os.path.join(self.directory, entries[-1]) if entries else None

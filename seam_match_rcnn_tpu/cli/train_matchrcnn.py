@@ -15,11 +15,13 @@ import argparse
 import os
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig, TrainConfig, serving_model_config
 from ..data.df2 import DF2PairBatchSampler, DeepFashion2Dataset
 from ..data.transforms import Compose, RandomHorizontalFlip, ToArray
-from ..ckpt.io import CheckpointManager, restore_checkpoint
+from ..ckpt.io import CheckpointManager, restore_training_checkpoint
 from ..models.matchrcnn import init_model
 from ..train.engine import train_one_epoch_matchrcnn
 from ..train.optim import multistep_warmup_schedule, sgd
@@ -42,6 +44,11 @@ def build_argparser():
     p.add_argument("--milestones", type=int, nargs="+", default=[6, 9])
     p.add_argument("--gamma", type=float, default=0.1)
     p.add_argument("--save_epochs", type=int, default=2)
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="also checkpoint every N optimizer steps into an "
+                        "overwriting 'mid' slot (0 = off); --start_ckpt on "
+                        "a mid checkpoint resumes inside the epoch "
+                        "(preemption-safe training, beyond-reference)")
     p.add_argument("--save_tag", type=str, default="matchrcnn")
     p.add_argument("--save_dir", type=str, default="ckpt")
     p.add_argument("--log_dir", type=str, default="runs")
@@ -108,7 +115,8 @@ def main(argv=None):
     tcfg = TrainConfig(
         lr=args.lr, momentum=args.momentum, milestones=tuple(args.milestones),
         gamma=args.gamma, epochs=args.epochs, batch_size=args.batch_size,
-        save_epochs=args.save_epochs, print_freq=args.print_freq, seed=args.seed,
+        save_epochs=args.save_epochs, save_steps=args.save_steps,
+        print_freq=args.print_freq, seed=args.seed,
         clip_grad_norm=args.clip_grad_norm,
     )
 
@@ -140,14 +148,24 @@ def main(argv=None):
     tx = sgd(schedule, tcfg.momentum, tcfg.weight_decay,
              clip_grad_norm=tcfg.clip_grad_norm)
     state = create_train_state(variables, tx)
+    rng = jax.random.PRNGKey(tcfg.seed)
     start_ep = 0
+    resume_skip = 0  # batches already done in start_ep (mid-epoch resume)
     if args.start_ckpt:
-        # target= reimposes the live state's tree types (optax opt_state is
-        # a NamedTuple chain; a raw-dict restore would break tx.update)
-        payload = restore_checkpoint(
-            args.start_ckpt, target={"state": state._asdict(), "epoch": 0})
+        # restore_training_checkpoint reimposes the live state's tree types
+        # (optax opt_state is a NamedTuple chain; a raw-dict restore would
+        # break tx.update) and detects mid-epoch checkpoints
+        payload, is_mid = restore_training_checkpoint(
+            args.start_ckpt, {"state": state._asdict(), "epoch": 0})
         state = TrainState(**payload["state"])
-        start_ep = int(payload.get("epoch", 0)) + 1
+        if is_mid:
+            start_ep = int(payload["epoch"])
+            resume_skip = int(payload["step_in_epoch"]) + 1
+            rng = jnp.asarray(payload["rng"])
+            print(f"mid-epoch resume: epoch {start_ep}, "
+                  f"skipping {resume_skip} batches")
+        else:
+            start_ep = int(payload.get("epoch", 0)) + 1
 
     # (grad, accum, apply) triple: one optimizer update per batch even when
     # orientations mix (reference engine.py:62-64 semantics)
@@ -155,19 +173,33 @@ def main(argv=None):
     writer = ScalarWriter(os.path.join(args.log_dir, args.save_tag))
     ckpts = CheckpointManager(os.path.join(args.save_dir, args.save_tag),
                               tcfg.save_epochs)
-    rng = jax.random.PRNGKey(tcfg.seed)
 
-    def batches(epoch):
+    def batches(epoch, skip=0):
+        # skip: batches already trained before a mid-epoch resume — the
+        # sampler is epoch-seeded, so index batches (and their in-batch
+        # partner draws) replay identically; skipping happens BEFORE image
+        # load, so the fast-forward costs only index math
         sampler.set_epoch(epoch)
-        for idxs in sampler:
+        for bi, idxs in enumerate(sampler):
+            if bi < skip:
+                continue
             items = [dataset[i] for i in idxs]
             yield [i[0] for i in items], [i[1] for i in items], [i[2] for i in items]
 
     for epoch in range(start_ep, tcfg.epochs):
+        skip = resume_skip if epoch == start_ep else 0
+
+        def save_mid(state, rng, step_in_epoch, epoch=epoch):
+            ckpts.save_mid({"state": state._asdict(), "epoch": epoch,
+                            "step_in_epoch": step_in_epoch,
+                            "rng": np.asarray(rng)})
+
         state, rng = train_one_epoch_matchrcnn(
-            model, state, step_fn, batches(epoch), epoch, rng,
+            model, state, step_fn, batches(epoch, skip), epoch, rng,
             print_freq=tcfg.print_freq, writer=writer,
-            steps_per_epoch=steps_per_epoch,
+            steps_per_epoch=steps_per_epoch, start_step=skip,
+            save_every_steps=tcfg.save_steps,
+            save_fn=save_mid if tcfg.save_steps else None,
         )
         ckpts.maybe_save(epoch, {"state": state._asdict(), "epoch": epoch})
     ckpts.maybe_save(tcfg.epochs - 1, {"state": state._asdict(), "epoch": tcfg.epochs - 1},

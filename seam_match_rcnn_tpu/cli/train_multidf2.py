@@ -13,7 +13,7 @@ import os
 
 from ..config import (EvalConfig, ModelConfig, SEAMTrainConfig,
                       serving_model_config)
-from ..ckpt.io import CheckpointManager, restore_checkpoint
+from ..ckpt.io import CheckpointManager, restore_training_checkpoint
 from ..ckpt.torch_convert import load_pretrained_detector
 from ..data.multidf2 import MultiDeepFashion2Dataset, product_batches
 from ..eval.multidf2 import evaluate
@@ -45,6 +45,11 @@ def build_argparser():
     p.add_argument("--score_thresh", type=float, default=0.1)
     p.add_argument("--eval_freq", type=int, default=4)
     p.add_argument("--save_epochs", type=int, default=2)
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="also checkpoint every N product batches into an "
+                        "overwriting 'mid' slot (0 = off); --start_ckpt on "
+                        "a mid checkpoint resumes inside the epoch "
+                        "(preemption-safe training, beyond-reference)")
     p.add_argument("--save_tag", type=str, default="seam_mdf2")
     p.add_argument("--save_dir", type=str, default="ckpt")
     p.add_argument("--log_dir", type=str, default="runs")
@@ -101,6 +106,7 @@ def main(argv=None):
         gamma=args.gamma, epochs=args.epochs, n_shops=args.n_shops,
         frames_per_shop=args.frames_per_shop_train, score_thresh=args.score_thresh,
         eval_freq=args.eval_freq, save_epochs=args.save_epochs,
+        save_steps=args.save_steps,
         print_freq=args.print_freq, seed=args.seed,
     )
 
@@ -123,20 +129,28 @@ def main(argv=None):
     tx = sgd(schedule, tcfg.momentum, tcfg.weight_decay)
     head_state = create_head_state(variables, tx)
     start_ep = 0
+    resume_skip = 0  # batches already done in start_ep (mid-epoch resume)
     if args.start_ckpt:
         # reference resume restores model + optimizer + scheduler epoch
         # (train_movingfashion.py:79-83); target= keeps optax's typed
-        # opt_state through orbax
-        payload = restore_checkpoint(
+        # opt_state through orbax; mid-epoch checkpoints (save_steps) also
+        # carry step_in_epoch
+        payload, is_mid = restore_training_checkpoint(
             args.start_ckpt,
-            target={"variables": variables,
-                    "head_state": head_state._asdict(), "epoch": 0},
+            {"variables": variables,
+             "head_state": head_state._asdict(), "epoch": 0},
         )
         variables = payload["variables"]
         from ..train.seam import HeadState
 
         head_state = HeadState(**payload["head_state"])
-        start_ep = int(payload.get("epoch", 0)) + 1
+        if is_mid:
+            start_ep = int(payload["epoch"])
+            resume_skip = int(payload["step_in_epoch"]) + 1
+            print(f"mid-epoch resume: epoch {start_ep}, "
+                  f"skipping {resume_skip} batches")
+        else:
+            start_ep = int(payload.get("epoch", 0)) + 1
 
     head_step = make_mdf2_head_step(tx, n_frames=cfg.match.n_frames)
     writer = ScalarWriter(os.path.join(args.log_dir, args.save_tag))
@@ -152,15 +166,25 @@ def main(argv=None):
         )
         from ..data.prefetch import prefetch
 
+        skip = resume_skip if epoch == start_ep else 0
+
+        def save_mid(hs, step_in_epoch, epoch=epoch):
+            ckpts.save_mid({"variables": merge_head_state(variables, hs),
+                            "head_state": hs._asdict(), "epoch": epoch,
+                            "step_in_epoch": step_in_epoch})
+
         head_state = train_one_epoch_multidf2(
             model, variables, head_state, head_step, runner,
             prefetch(product_batches(train_ds, tcfg.n_shops, tcfg.frames_per_shop,
                                      seed=tcfg.seed, epoch=epoch, drop_last=True,
                                      num_shards=jax.process_count(),
-                                     shard=jax.process_index())),
+                                     shard=jax.process_index(),
+                                     skip_batches=skip)),
             epoch, tcfg.n_shops, tcfg.frames_per_shop,
             score_thresh=tcfg.score_thresh, print_freq=tcfg.print_freq,
-            writer=writer,
+            writer=writer, start_step=skip,
+            save_every_steps=tcfg.save_steps,
+            save_fn=save_mid if tcfg.save_steps else None,
         )
         merged = merge_head_state(variables, head_state)
         ckpts.maybe_save(epoch, {"variables": merged,

@@ -180,6 +180,11 @@ class TrainConfig:
     # for from-scratch runs.
     clip_grad_norm: float = 0.0
     save_epochs: int = 2
+    # Mid-epoch checkpoint every N optimizer steps into the overwriting
+    # "mid" slot (0 = off).  Beyond-reference robustness for preemptible
+    # TPU jobs: --start_ckpt on a mid checkpoint resumes inside the epoch
+    # (same batch order — the pair sampler is epoch-seeded).
+    save_steps: int = 0
     print_freq: int = 100
     seed: int = 0
 
@@ -205,6 +210,9 @@ class SEAMTrainConfig:
     infer_chunk: int = 15
     eval_freq: int = 4
     save_epochs: int = 2
+    # Mid-epoch checkpoint every N product batches into the overwriting
+    # "mid" slot (0 = off); see TrainConfig.save_steps.
+    save_steps: int = 0
     print_freq: int = 20
     seed: int = 0
 

@@ -120,6 +120,7 @@ def product_batches(
     shard: int = 0,
     limit: Optional[int] = None,
     drop_last: bool = False,
+    skip_batches: int = 0,
 ) -> Iterator[List[Dict]]:
     """MFBatchSampler semantics (MFDataset.py:151-186): per product emit the
     shop image + frames at sorted random (or uniform/fixed) temporal
@@ -136,6 +137,7 @@ def product_batches(
 
     batch: List[Dict] = []
     per_batch = 0
+    skipped = 0
     for i in order:
         if fixed_frames is not None:
             fracs = list(fixed_frames)
@@ -143,6 +145,14 @@ def product_batches(
             fracs = list(np.linspace(0.0, 1.0, frames_per_product))
         else:
             fracs = sorted(rng.random() for _ in range(frames_per_product))
+        if skipped < skip_batches:
+            # mid-epoch resume fast-forward: consume the rng draws so the
+            # remaining batches replay identically, but never decode
+            per_batch += 1
+            if per_batch == n_products:
+                skipped += 1
+                per_batch = 0
+            continue
         batch.append(dataset.shop_image(i))
         for f in fracs:
             batch.append(dataset.video_frame(i, f, fixed_video_i))

@@ -77,6 +77,7 @@ def product_batches(
     shard: int = 0,
     limit: Optional[int] = None,
     drop_last: bool = False,
+    skip_batches: int = 0,
 ) -> Iterator[List[Dict]]:
     rng = random.Random(seed + epoch)
     order = list(range(len(dataset)))
@@ -87,8 +88,17 @@ def product_batches(
         order = order[:limit]
     batch: List[Dict] = []
     count = 0
+    skipped = 0
     for p in order:
         fracs = sorted(rng.random() for _ in range(frames_per_product))
+        if skipped < skip_batches:
+            # mid-epoch resume fast-forward: consume the rng draws so the
+            # remaining batches replay identically, but never load images
+            count += 1
+            if count == n_products:
+                skipped += 1
+                count = 0
+            continue
         batch.append(dataset.shop_view(p))
         batch += [dataset.street_view(p, f) for f in fracs]
         count += 1

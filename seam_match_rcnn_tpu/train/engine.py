@@ -73,8 +73,19 @@ def train_one_epoch_matchrcnn(
     writer: Optional[ScalarWriter] = None,
     g_max: int = 24,
     steps_per_epoch: Optional[int] = None,
+    start_step: int = 0,
+    save_every_steps: int = 0,
+    save_fn=None,
 ):
     """Phase-1 loop.  ``data`` yields (images, targets, ids) batches.
+
+    Mid-epoch checkpointing (no reference equivalent): every
+    ``save_every_steps`` batches, ``save_fn(state, rng, step_in_epoch)``
+    is called with the post-update state and the post-split rng — resuming
+    with that rng and the remaining batches reproduces the uninterrupted
+    run exactly (tests/test_mid_epoch_resume.py).  ``start_step`` offsets
+    the step counter when the caller has already skipped that many
+    batches.
 
     Mixed-orientation batches are split per canvas bucket (the
     static-canvas analogue of torchvision's dynamic batch padding).  When
@@ -90,7 +101,7 @@ def train_one_epoch_matchrcnn(
     if accumulate:
         grad_fn, accum_fn, apply_fn = step_fn
     logger = MetricLogger()
-    count = 0
+    count = start_step
     for images, targets, ids in logger.log_every(data, print_freq,
                                                  f"Epoch: [{epoch}]",
                                                  total=steps_per_epoch):
@@ -130,6 +141,9 @@ def train_one_epoch_matchrcnn(
         if writer is not None and count % print_freq == 0 and lf:
             for k, v in lf.items():
                 writer.add_scalar(k, v, global_step=int(state.step))
+        if save_fn is not None and save_every_steps > 0 \
+                and (count + 1) % save_every_steps == 0:
+            save_fn(state, rng, count)
         count += 1
     return state, rng
 
@@ -157,12 +171,19 @@ def train_one_epoch_movingfashion(
     max_rows: int = 256,
     print_freq: int = 20,
     writer: Optional[ScalarWriter] = None,
+    start_step: int = 0,
+    save_every_steps: int = 0,
+    save_fn=None,
 ):
     """Phase-2 SEAM loop (engine.py:76-199).  ``runner`` is an
     InferenceRunner built over the CURRENT variables with roi_features
-    export; the frozen detector never changes during the epoch."""
+    export; the frozen detector never changes during the epoch.
+
+    ``save_fn(head_state, step_in_epoch)`` fires every ``save_every_steps``
+    batches for preemption-safe mid-epoch resume (pair with the sampler's
+    ``skip_batches`` and ``start_step``; no reference equivalent)."""
     logger = MetricLogger()
-    count = 0
+    count = start_step
     for items in logger.log_every(data, print_freq, f"Epoch: [{epoch}]"):
         images, tags, prods = _mf_batch_to_images(items)
         outs, dev = runner.run(images, device_keys=("roi_features",))
@@ -171,6 +192,9 @@ def train_one_epoch_movingfashion(
             max_rows,
         )
         if sel is None:
+            # count consumed batches even without an optimizer step so a
+            # mid-epoch resume's skip_batches stays aligned with the sampler
+            count += 1
             continue
         batch = {
             "roi_src": dev["roi_features"],
@@ -191,6 +215,9 @@ def train_one_epoch_movingfashion(
         if writer is not None and count % print_freq == 0:
             for k, v in lf.items():
                 writer.add_scalar(k, v, global_step=int(head_state.step))
+        if save_fn is not None and save_every_steps > 0 \
+                and (count + 1) % save_every_steps == 0:
+            save_fn(head_state, count)
         count += 1
     return head_state
 
@@ -286,9 +313,12 @@ def train_one_epoch_multidf2(
     max_rows: int = 256,
     print_freq: int = 20,
     writer: Optional[ScalarWriter] = None,
+    start_step: int = 0,
+    save_every_steps: int = 0,
+    save_fn=None,
 ):
     logger = MetricLogger()
-    count = 0
+    count = start_step
     for items in logger.log_every(data, print_freq, f"Epoch: [{epoch}]"):
         images, tags, prods = _mf_batch_to_images(items)
         outs, dev = runner.run(images, device_keys=("roi_features",))
@@ -297,6 +327,9 @@ def train_one_epoch_multidf2(
             max_rows,
         )
         if sel is None:
+            # count consumed batches even without an optimizer step so a
+            # mid-epoch resume's skip_batches stays aligned with the sampler
+            count += 1
             continue
         batch = jax.tree.map(jnp.asarray, sel)
         batch["roi_src"] = dev["roi_features"]
@@ -307,5 +340,8 @@ def train_one_epoch_multidf2(
         if writer is not None and count % print_freq == 0:
             for k, v in lf.items():
                 writer.add_scalar(k, v, global_step=int(head_state.step))
+        if save_fn is not None and save_every_steps > 0 \
+                and (count + 1) % save_every_steps == 0:
+            save_fn(head_state, count)
         count += 1
     return head_state
