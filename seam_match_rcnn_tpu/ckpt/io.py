@@ -98,6 +98,19 @@ def restore_training_checkpoint(path: str, target: Dict[str, Any]):
     return _reimpose_types(tgt, raw), is_mid
 
 
+def resolve_auto_resume(save_dir: str, save_tag: str) -> Optional[str]:
+    """``--auto_resume`` support: newest checkpoint (mid-epoch slot
+    included) under ``save_dir/save_tag``, or None when there is nothing
+    to resume from.  Lets a preempted job restart with its original
+    command line + one flag instead of hand-picking a ``--start_ckpt``
+    path (no reference equivalent: resume there is always manual,
+    /root/reference/train_movingfashion.py:79-83)."""
+    directory = os.path.join(save_dir, save_tag)
+    if not os.path.isdir(directory):
+        return None
+    return CheckpointManager(directory).latest()
+
+
 class CheckpointManager:
     """Rank-0-style periodic saver (reference saves every ``save_epochs``
     plus a final one)."""

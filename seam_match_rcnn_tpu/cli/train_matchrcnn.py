@@ -21,7 +21,8 @@ import numpy as np
 from ..config import ModelConfig, TrainConfig, serving_model_config
 from ..data.df2 import DF2PairBatchSampler, DeepFashion2Dataset
 from ..data.transforms import Compose, RandomHorizontalFlip, ToArray
-from ..ckpt.io import CheckpointManager, restore_training_checkpoint
+from ..ckpt.io import (CheckpointManager, resolve_auto_resume,
+                       restore_training_checkpoint)
 from ..models.matchrcnn import init_model
 from ..train.engine import train_one_epoch_matchrcnn
 from ..train.optim import multistep_warmup_schedule, sgd
@@ -54,6 +55,10 @@ def build_argparser():
     p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--start_ckpt", type=str, default=None)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the newest checkpoint under "
+                        "save_dir/save_tag (mid-epoch slot included) when "
+                        "--start_ckpt is not given; no-op on a fresh run")
     # ImageNet resnet50 state_dict (torch file) — the reference's
     # pretrained_backbone=True warm-start
     p.add_argument("--imagenet_backbone", type=str, default=None)
@@ -151,6 +156,10 @@ def main(argv=None):
     rng = jax.random.PRNGKey(tcfg.seed)
     start_ep = 0
     resume_skip = 0  # batches already done in start_ep (mid-epoch resume)
+    if args.auto_resume and not args.start_ckpt:
+        args.start_ckpt = resolve_auto_resume(args.save_dir, args.save_tag)
+        if args.start_ckpt:
+            print(f"auto-resume from {args.start_ckpt}")
     if args.start_ckpt:
         # restore_training_checkpoint reimposes the live state's tree types
         # (optax opt_state is a NamedTuple chain; a raw-dict restore would

@@ -13,7 +13,8 @@ import os
 
 from ..config import (EvalConfig, ModelConfig, SEAMTrainConfig,
                       serving_model_config)
-from ..ckpt.io import CheckpointManager, restore_training_checkpoint
+from ..ckpt.io import (CheckpointManager, resolve_auto_resume,
+                       restore_training_checkpoint)
 from ..ckpt.torch_convert import load_pretrained_detector
 from ..data.multidf2 import MultiDeepFashion2Dataset, product_batches
 from ..eval.multidf2 import evaluate
@@ -58,6 +59,10 @@ def build_argparser():
     p.add_argument("--noise", type=bool, default=True)
     p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
     p.add_argument("--start_ckpt", type=str, default=None)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the newest checkpoint under "
+                        "save_dir/save_tag (mid-epoch slot included) when "
+                        "--start_ckpt is not given; no-op on a fresh run")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true",
                    help="train one epoch on a generated synthetic "
@@ -130,6 +135,10 @@ def main(argv=None):
     head_state = create_head_state(variables, tx)
     start_ep = 0
     resume_skip = 0  # batches already done in start_ep (mid-epoch resume)
+    if args.auto_resume and not args.start_ckpt:
+        args.start_ckpt = resolve_auto_resume(args.save_dir, args.save_tag)
+        if args.start_ckpt:
+            print(f"auto-resume from {args.start_ckpt}")
     if args.start_ckpt:
         # reference resume restores model + optimizer + scheduler epoch
         # (train_movingfashion.py:79-83); target= keeps optax's typed

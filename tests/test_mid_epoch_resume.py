@@ -191,6 +191,32 @@ def test_epoch_save_supersedes_mid_slot(tmp_path):
     assert not any(e.startswith(".mid") for e in os.listdir(str(tmp_path)))
 
 
+def test_resolve_auto_resume(tmp_path):
+    from seam_match_rcnn_tpu.ckpt.io import resolve_auto_resume
+
+    # nothing to resume: missing dir and empty dir both give None
+    assert resolve_auto_resume(str(tmp_path), "tag") is None
+    mgr = CheckpointManager(str(tmp_path / "tag"), save_epochs=1)
+    assert resolve_auto_resume(str(tmp_path), "tag") is None
+    state = {"w": np.float32(1.0)}
+    mgr.maybe_save(0, {"state": state, "epoch": 0})
+    assert resolve_auto_resume(str(tmp_path), "tag").endswith("epoch000")
+    # the mid slot is newer than any epoch save
+    mgr.save_mid({"state": state, "epoch": 1, "step_in_epoch": 0})
+    assert resolve_auto_resume(str(tmp_path), "tag").endswith("mid")
+
+
+def test_train_clis_accept_resume_flags():
+    from seam_match_rcnn_tpu.cli import (train_matchrcnn, train_movingfashion,
+                                         train_multidf2)
+
+    for mod in (train_matchrcnn, train_movingfashion, train_multidf2):
+        args = mod.build_argparser().parse_args(
+            ["--auto_resume", "--save_steps", "50"])
+        assert args.auto_resume and args.save_steps == 50
+        assert mod.build_argparser().parse_args([]).save_steps == 0
+
+
 def test_save_mid_roundtrip_and_detection(tmp_path):
     mgr = CheckpointManager(str(tmp_path), save_epochs=2)
     state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
