@@ -35,6 +35,60 @@ class Gallery:
     aggr_feats: np.ndarray    # [G, 256]
     keys: List[str]
 
+    def save(self, path: str) -> str:
+        """Persist the index (build once, serve many): a single .npz with
+        both descriptor matrices and the product keys."""
+        if not path.endswith(".npz"):
+            path += ".npz"
+        np.savez(path, match_feats=self.match_feats,
+                 aggr_feats=self.aggr_feats,
+                 keys=np.asarray(self.keys, dtype=object))
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "Gallery":
+        with np.load(path, allow_pickle=True) as z:
+            return cls(match_feats=z["match_feats"],
+                       aggr_feats=z["aggr_feats"],
+                       keys=[str(k) for k in z["keys"]])
+
+
+def decode_video_frames(path: str, n_frames: int = 10) -> List[np.ndarray]:
+    """Decode ``n_frames`` uniformly-spaced frames of a video file as HWC
+    float [0,1] RGB arrays (cv2 random-access seek, the reference's frame
+    access pattern at /root/reference/datasets/MFDataset.py:59-66 with
+    uniform fractions)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    total = cap.get(cv2.CAP_PROP_FRAME_COUNT)
+    if total <= 0:
+        cap.release()
+        raise ValueError(f"cannot read video: {path}")
+    frames = []
+    for frac in np.linspace(0.0, 1.0, n_frames):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, min(int(total * frac), int(total) - 1))
+        ok, frame = cap.read()
+        if ok:
+            frames.append(frame[:, :, ::-1].astype(np.float32) / 255.0)
+    cap.release()
+    if not frames:
+        raise ValueError(f"no decodable frames in: {path}")
+    return frames
+
+
+def load_image_frames(paths: Sequence[str]) -> List[np.ndarray]:
+    """Load image files as HWC float [0,1] RGB arrays."""
+    import cv2
+
+    frames = []
+    for p in paths:
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"cannot read image: {p}")
+        frames.append(img[:, :, ::-1].astype(np.float32) / 255.0)
+    return frames
+
 
 @dataclasses.dataclass
 class RetrievalResult:
@@ -150,3 +204,9 @@ class SeamRetrieval:
             keys=[gallery.keys[i] for i in order],
             track_length=len(emb["track_rows"]),
         )
+
+    def retrieve_video(self, path: str, gallery: Gallery, k: int = 5,
+                       n_frames: int = 10) -> RetrievalResult:
+        """Query straight from a video file: uniform-fraction decode →
+        detect/track/aggregate → gallery scoring."""
+        return self.retrieve(decode_video_frames(path, n_frames), gallery, k)
