@@ -359,7 +359,10 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
                 )
             if dequant:
                 pooled = pooled * scales_ref[lvl_ref[i * mini + k]]
-            out_ref[k] = pooled.reshape(o, o, c)
+            # out_dtype=bf16 rounds here instead of in a separate 2.2 GB
+            # cast op after the kernel (the serving box head computes in
+            # bf16 anyway — identical values, half the HBM traffic)
+            out_ref[k] = pooled.reshape(o, o, c).astype(out_ref.dtype)
 
         row_opts = list(bounds[1:])
         if not gate_matmul or len(row_opts) == 1:
@@ -382,7 +385,7 @@ def _kernel(img_ref, lvl_ref, y0_ref, x0_ref, nrows_ref, geom_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "sampling_ratio", "interpret", "roi_chunk",
-                     "splits", "gate_matmul"),
+                     "splits", "gate_matmul", "out_dtype"),
 )
 def pallas_roi_align_batched(
     features: Sequence[jnp.ndarray],
@@ -395,12 +398,17 @@ def pallas_roi_align_batched(
     scales: jnp.ndarray | None = None,
     splits: Tuple[int, ...] = SPLITS,
     gate_matmul: bool = True,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Batched multi-level RoIAlign.
 
     features: per level [B, H_l, W_l, C]; rois: [B, R, 4] in image coords.
     With int8 features pass ``scales`` [L, C] from quantize_features_int8;
-    the kernel dequantizes after pooling.  Returns [B, R, out, out, C] f32.
+    the kernel dequantizes after pooling.  Returns [B, R, out, out, C] in
+    ``out_dtype`` (pooling accumulates f32 regardless; out_dtype=bf16
+    rounds at the store — bit-identical to a post-kernel cast but without
+    materializing the f32 array: ~50 KB/roi of HBM writes+reads saved on
+    the serving box branch).
     interpret="auto" compiles on TPU and falls back to interpret mode on
     other backends (so CPU tests exercise the same code path).
     """
@@ -474,7 +482,7 @@ def pallas_roi_align_batched(
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((roi_chunk, output_size, output_size, c),
-                                       jnp.float32),
+                                       out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )
@@ -543,8 +551,9 @@ def apply_exact_fixup(
         jnp.where(sel, exact, cur))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def pallas_roi_align_trainable(features, rois, output_size, sampling_ratio):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_roi_align_trainable(features, rois, output_size, sampling_ratio,
+                               out_dtype=jnp.float32):
     """Differentiable wrapper: Pallas patch-DMA forward + the EXACT adjoint
     of the XLA gather implementation as backward.  RoIAlign is linear in
     ``features`` for fixed rois, so its vjp is a fixed transpose
@@ -557,16 +566,17 @@ def pallas_roi_align_trainable(features, rois, output_size, sampling_ratio):
     features: TUPLE of per-level [B, H, W, C]; rois [B, R, 4].
     """
     return pallas_roi_align_batched(
-        list(features), rois, output_size, sampling_ratio
+        list(features), rois, output_size, sampling_ratio, out_dtype=out_dtype
     )
 
 
-def _trainable_fwd(features, rois, output_size, sampling_ratio):
-    out = pallas_roi_align_trainable(features, rois, output_size, sampling_ratio)
+def _trainable_fwd(features, rois, output_size, sampling_ratio, out_dtype):
+    out = pallas_roi_align_trainable(features, rois, output_size,
+                                     sampling_ratio, out_dtype)
     return out, (features, rois)
 
 
-def _trainable_bwd(output_size, sampling_ratio, res, g):
+def _trainable_bwd(output_size, sampling_ratio, out_dtype, res, g):
     from .roi_align import multilevel_roi_align_adjoint
 
     features, rois = res
@@ -591,12 +601,13 @@ def pallas_multilevel_roi_align(
     spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
     interpret: bool | str = "auto",
     scales: jnp.ndarray | None = None,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Single-image convenience wrapper: features [H_l, W_l, C], rois [N, 4]."""
     out = pallas_roi_align_batched(
         [f[None] for f in features], rois[None], output_size, sampling_ratio,
         spatial_scales, interpret=interpret,
         roi_chunk=min(ROI_CHUNK, ((max(8, rois.shape[0]) + 7) // 8) * 8),
-        scales=scales,
+        scales=scales, out_dtype=out_dtype,
     )
     return out[0]

@@ -340,3 +340,34 @@ def test_clamped_descriptor_drift_bounded_and_fixup_exact():
     flips = (r_pallas != r_exact).any(axis=1)
     assert not flips[~mask].any()
     assert (r_fixed == r_exact).all()
+
+
+def test_pallas_roi_align_out_dtype_bf16_bit_identical():
+    """out_dtype=bf16 must equal the f32 output rounded at the store — the
+    serving box branch consumes bf16 anyway, so the kernel-side rounding
+    saves a full-size cast op with zero value change (PERF.md round-2)."""
+    from seam_match_rcnn_tpu.ops.pallas_roi_align import (
+        pallas_roi_align_batched, pallas_roi_align_trainable)
+
+    feats = [jnp.asarray(f, jnp.bfloat16) for f in make_pyramid(seed=31)]
+    rois = jnp.asarray(moderate_rois(24, seed=32))
+    f32 = pallas_roi_align_batched([f[None] for f in feats], rois[None], 7,
+                                   roi_chunk=32)
+    bf16 = pallas_roi_align_batched([f[None] for f in feats], rois[None], 7,
+                                    roi_chunk=32, out_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(f32.astype(jnp.bfloat16), np.float32),
+        np.asarray(bf16, np.float32))
+
+    # differentiable wrapper: same forward, bf16 grads flow to the adjoint
+    t = pallas_roi_align_trainable(
+        tuple(f[None] for f in feats), rois[None], 7, 2, jnp.dtype(jnp.bfloat16))
+    np.testing.assert_array_equal(np.asarray(t, np.float32),
+                                  np.asarray(bf16, np.float32))
+    import jax
+    g = jax.grad(
+        lambda fs: jnp.sum(pallas_roi_align_trainable(
+            fs, rois[None], 7, 2, jnp.dtype(jnp.bfloat16)).astype(jnp.float32))
+    )(tuple(f[None] for f in feats))
+    assert all(gi.dtype == jnp.bfloat16 for gi in g)

@@ -1,0 +1,296 @@
+"""Experiment: can a shared-residency RoIAlign beat the per-roi DMA floor?
+
+The production kernel (ops/pallas_roi_align.py) DMAs ~1 MB of HBM per roi
+(40x48x256 bf16 window) while the UNIQUE pyramid bytes are ~80x smaller —
+rois overlap heavily.  A level-resident design would stream each FPN level
+into VMEM once (strips) and have every roi gather its window from VMEM.
+Whether that wins hinges on the numbers this probe measures: the per-roi
+cost of a dynamic VMEM slice + pooling matmul when NO per-roi HBM DMA
+happens at all (the resident design's lower bound), with and without the
+production footprint gating (nrows drawn from the serving roi mix).
+
+All timing runs INSIDE one jit via lax.scan over distinct inputs (device
+dispatch is async through the tunnel; per-call timing overstates by ~2x —
+the first version of this probe did exactly that).
+
+Variants (timing only — geometry is faked so every roi reads one resident
+strip; correctness is NOT evaluated):
+  combined       per-roi HBM patch DMA (ungated) + Kronecker matmul
+  dma_floor      per-roi patch DMA + trivial store (DMA/issue floor)
+  compute0       no DMA, full-K matmul + wc expansion (pure compute)
+  compute_gated  no DMA, production pool_rows branches on realistic nrows
+  res_slice      no per-roi DMA: dynamic VMEM slice of a resident strip
+                 + full-K matmul
+  res_gated      resident slice + nrows-gated matmul — the actual floor of
+                 a shared-residency production kernel
+  res_mm         resident, separable two-matmul form straight off a 2D ref
+                 (no wc expansion, no pre-slice reshape)
+
+Production reference same-session: run tools' production timer (see
+PERF.md round-2 session notes) — pallas_roi_align_batched gate_matmul=True.
+
+Usage: python tools/exp_roi_resident.py [--rois 16384] [--width 168]
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rois", type=int, default=16384)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--channels", type=int, default=256)
+    ap.add_argument("--width", type=int, default=168,
+                    help="resident strip width (P2 full width = 336)")
+    ap.add_argument(
+        "--variants",
+        default="combined,dma_floor,compute0,compute_gated,res_slice,"
+                "res_gated,res_mm")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from seam_match_rcnn_tpu.ops import pallas_roi_align as pra
+
+    PATCH, PATCH_W = pra.PATCH, pra.PATCH_W  # 40, 48
+    STRIP_ROWS = 48
+    C = args.channels
+    W = args.width
+    MINI = 8
+    o, ratio = 7, 2
+    BOUNDS = (16, 24, 32, PATCH)  # production splits + full
+
+    def _wy_wx(geom_ref, k, rows):
+        wy = pra._interp_matrix(geom_ref[k, 0], geom_ref[k, 2],
+                                geom_ref[k, 4], geom_ref[k, 5],
+                                o, ratio, rows)
+        wx = pra._interp_matrix(geom_ref[k, 1], geom_ref[k, 3],
+                                geom_ref[k, 6], geom_ref[k, 7],
+                                o, ratio, PATCH_W)
+        return wy.astype(jnp.bfloat16), wx.astype(jnp.bfloat16)
+
+    def _wc(geom_ref, k, rows):
+        wy, wx = _wy_wx(geom_ref, k, rows)
+        wyR = jnp.concatenate(
+            [jnp.broadcast_to(wy[t:t + 1], (o, rows)) for t in range(o)], 0)
+        wxR = jnp.concatenate([wx] * o, axis=0)
+        return jnp.concatenate(
+            [wyR[:, py:py + 1] * wxR for py in range(rows)], axis=1)
+
+    dn = (((1,), (0,)), ((), ()))
+
+    def _mm(wc, pm):
+        return jax.lax.dot_general(
+            wc, pm, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+
+    def _gated(nr, body):
+        for bi, ru in enumerate(BOUNDS):
+            if bi == 0:
+                cond = nr <= ru
+            elif bi == len(BOUNDS) - 1:
+                cond = nr > BOUNDS[bi - 1]
+            else:
+                cond = (nr > BOUNDS[bi - 1]) & (nr <= ru)
+            pl.when(cond)(functools.partial(body, ru))
+
+    def make_kernel(variant):
+        def kern(y_ref, x_ref, nr_ref, geom_ref, *rest):
+            if variant in ("res_slice", "res_gated"):
+                strip_ref, f0, out_ref, patch, sem = rest
+            elif variant == "res_mm":
+                strip2d_ref, f0, out_ref, patch, sem = rest
+            else:
+                f0, out_ref, patch, sem = rest
+            i = pl.program_id(0)
+            if variant in ("combined", "dma_floor"):
+                for k in range(MINI):
+                    j = i * MINI + k
+                    y0 = pl.multiple_of(y_ref[j], 8)
+                    x0 = pl.multiple_of(x_ref[j], 8)
+                    pltpu.make_async_copy(
+                        f0.at[0, pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :],
+                        patch.at[k], sem.at[k],
+                    ).start()
+            for k in range(MINI):
+                j = i * MINI + k
+                if variant in ("combined", "dma_floor"):
+                    pltpu.make_async_copy(
+                        f0.at[0, pl.ds(0, PATCH), pl.ds(0, PATCH_W), :],
+                        patch.at[k], sem.at[k],
+                    ).wait()
+                if variant == "dma_floor":
+                    out_ref[k] = patch[k][:o, :o, :].astype(out_ref.dtype)
+                elif variant == "combined":
+                    wc = _wc(geom_ref, k, PATCH)
+                    out_ref[k] = _mm(
+                        wc, patch[k][:].reshape(PATCH * PATCH_W, C)
+                    ).reshape(o, o, C).astype(out_ref.dtype)
+                elif variant == "compute0":
+                    wc = _wc(geom_ref, k, PATCH)
+                    out_ref[k] = _mm(
+                        wc, patch[k][:].reshape(PATCH * PATCH_W, C)
+                    ).reshape(o, o, C).astype(out_ref.dtype)
+                elif variant == "compute_gated":
+                    def body(ru, k=k):
+                        wc = _wc(geom_ref, k, ru)
+                        out_ref[k] = _mm(
+                            wc, patch[k][:ru].reshape(ru * PATCH_W, C)
+                        ).reshape(o, o, C).astype(out_ref.dtype)
+                    _gated(nr_ref[j], body)
+                elif variant == "res_slice":
+                    y0 = pl.multiple_of(y_ref[j], 8)
+                    x0 = pl.multiple_of(x_ref[j], 8)
+                    wc = _wc(geom_ref, k, PATCH)
+                    pm = strip_ref[pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :]
+                    out_ref[k] = _mm(
+                        wc, pm.reshape(PATCH * PATCH_W, C)).reshape(o, o, C).astype(out_ref.dtype)
+                elif variant == "res_gated":
+                    y0 = pl.multiple_of(y_ref[j], 8)
+                    x0 = pl.multiple_of(x_ref[j], 8)
+
+                    def body(ru, k=k, y0=y0, x0=x0):
+                        wc = _wc(geom_ref, k, ru)
+                        pm = strip_ref[pl.ds(y0, ru), pl.ds(x0, PATCH_W), :]
+                        out_ref[k] = _mm(
+                            wc, pm.reshape(ru * PATCH_W, C)).reshape(o, o, C).astype(out_ref.dtype)
+                    _gated(nr_ref[j], body)
+                elif variant == "res_mm":
+                    x0 = pl.multiple_of(x_ref[j], 8)
+                    wy, wx = _wy_wx(geom_ref, k, PATCH)
+                    wy48 = jnp.concatenate(
+                        [wy, jnp.zeros((o, STRIP_ROWS - PATCH),
+                                       jnp.bfloat16)], axis=1)
+                    seg = strip2d_ref[:, pl.ds(x0 * C, PATCH_W * C)]
+                    tmp = jax.lax.dot_general(
+                        wy48, seg, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(o, PATCH_W, C)
+                    pooled = jax.lax.dot_general(
+                        wx.astype(jnp.float32), tmp,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
+        return kern
+
+    def build_call(variant, n, out_dtype=None):
+        import jax.numpy as jnp
+        if out_dtype is None:
+            out_dtype = jnp.bfloat16 if variant.endswith("_bf16o") else jnp.float32
+        variant = variant[:-6] if variant.endswith("_bf16o") else variant
+        n_groups = n // MINI
+        resident_specs = []
+        if variant in ("res_slice", "res_gated"):
+            resident_specs = [pl.BlockSpec(
+                (STRIP_ROWS, W, C), lambda i, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM)]
+        elif variant == "res_mm":
+            resident_specs = [pl.BlockSpec(
+                (STRIP_ROWS, W * C), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_groups,),
+            in_specs=[
+                pl.BlockSpec((8, 8), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + resident_specs + [
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (MINI, o, o, C), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((MINI, PATCH, PATCH_W, C), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((MINI,)),
+            ],
+        )
+        return pl.pallas_call(
+            make_kernel(variant),
+            out_shape=jax.ShapeDtypeStruct((n, o, o, C), out_dtype),
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    rng = np.random.RandomState(0)
+    strip = jnp.asarray(rng.randn(STRIP_ROWS, W, C), jnp.bfloat16)
+    strip2d = strip.reshape(STRIP_ROWS, W * C)
+    f0 = jnp.asarray(
+        rng.randn(1, 200 + PATCH + 1, 336 + PATCH_W + 1, C), jnp.bfloat16)
+    n, iters = args.rois, args.iters
+
+    # realistic nrows mix (serving roi distribution, tools/exp_prod_roi):
+    # quantiles [13,16,20,24,29,36], mean ~20
+    nr_np = np.clip(np.round(np.exp(
+        rng.normal(np.log(20.0), 0.35, size=(iters, n)))), 4, PATCH)
+    nrows = jnp.asarray(nr_np.astype(np.int32))
+    ys = jnp.asarray(
+        (rng.randint(0, 2, (iters, n)) * 8).astype(np.int32))
+    xs = jnp.asarray((rng.randint(0, (W - PATCH_W) // 8, (iters, n)) * 8)
+                     .astype(np.int32))
+    ysd = jnp.asarray((rng.randint(0, 160, (iters, n)) // 8 * 8)
+                      .astype(np.int32))
+    xsd = jnp.asarray((rng.randint(0, 280, (iters, n)) // 8 * 8)
+                      .astype(np.int32))
+    geom = jnp.asarray(
+        np.stack([np.full((iters, n), 1.0), np.full((iters, n), 1.0),
+                  rng.uniform(1.5, 4.0, (iters, n)),
+                  rng.uniform(1.5, 4.0, (iters, n)),
+                  np.full((iters, n), -200.0), np.full((iters, n), 400.0),
+                  np.full((iters, n), -200.0), np.full((iters, n), 400.0)],
+                 -1).astype(np.float32))
+
+    for name in args.variants.split(","):
+        base = name[:-6] if name.endswith("_bf16o") else name
+        use_ys = ysd if base in ("combined", "dma_floor") else ys
+        use_xs = xsd if base in ("combined", "dma_floor") else xs
+        if base in ("res_slice", "res_gated"):
+            resident = (strip,)
+        elif base == "res_mm":
+            resident = (strip2d,)
+        else:
+            resident = ()
+        try:
+            call = build_call(name, n)
+            n_groups = n // MINI
+
+            @jax.jit
+            def f(resident, f0, ys, xs, nrows, geom):
+                def body(acc, it):
+                    y, x, nr, g = it
+                    g = g.reshape(n_groups * 8, 8)
+                    out = call(y, x, nr, g, *resident, f0)
+                    return acc + jnp.sum(out), ()
+                tot, _ = jax.lax.scan(
+                    body, jnp.float32(0), (ys, xs, nrows, geom))
+                return tot
+
+            float(f(resident, f0, use_ys, use_xs, nrows, geom))
+            t0 = time.perf_counter()
+            float(f(resident, f0, use_ys, use_xs, nrows, geom))
+            dt = (time.perf_counter() - t0) / iters
+            print(f"{name:13s}: {dt*1e3:8.2f} ms / {n} rois  "
+                  f"({dt/n*1e6:.3f} us/roi)", flush=True)
+        except Exception as e:
+            print(f"{name:13s}: FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:180]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
