@@ -179,9 +179,15 @@ def footprint_clamp_mask(
     return (cy > PATCH - 1.0) | (cx > PATCH_W - 1.0)
 
 
-def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width):
+def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width,
+                   clamp_last=None):
     """One-hot bilinear interpolation matrix [out_size*ratio, width] with
-    torchvision's border rules in patch-local coordinates."""
+    torchvision's border rules in patch-local coordinates.
+
+    ``clamp_last`` (dynamic scalar, default ``width - 1``) is the patch-edge
+    sample clamp; the resident kernel's window is wider than the production
+    patch, so it passes the production clamp shifted by its row-alignment
+    residual to keep the two kernels' out-of-contract behavior identical."""
     p = out_size * ratio
     idx_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     bins = (idx_i // ratio).astype(jnp.float32)
@@ -190,7 +196,9 @@ def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width):
 
     in_range = (coord >= lo_bound) & (coord <= hi_bound)
     c = jnp.maximum(coord, jnp.maximum(lo_bound + 1.0, 0.0))
-    last = jnp.minimum(hi_bound - 1.0, width - 1.0)  # image border or patch edge
+    if clamp_last is None:
+        clamp_last = width - 1.0
+    last = jnp.minimum(hi_bound - 1.0, clamp_last)  # image border or patch edge
     c = jnp.minimum(c, last)
     lo = jnp.floor(c)
     at_border = lo >= last

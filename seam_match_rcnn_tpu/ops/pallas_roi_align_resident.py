@@ -1,0 +1,323 @@
+"""Tile-resident Pallas RoIAlign: shared VMEM tiles instead of per-roi DMA.
+
+The production kernel (pallas_roi_align.py) DMAs a private [PATCH, PATCH_W]
+HBM window per roi (~1 MB, footprint-gated).  Serving rois overlap heavily —
+the UNIQUE pyramid bytes per frame are ~80× smaller than the summed windows —
+and the measured per-roi floor with NO DMA at all is ~28% below the
+production kernel (tools/exp_roi_resident.py: res_mm 1.324 µs/roi vs
+production 1.837 µs/roi, same session).  This kernel realizes that floor:
+
+  * the FPN pyramid is cut into [TILE_H, TILE_W] = [72, 120] cell tiles on a
+    [32, 72] stride grid (halo ≥ window size ⇒ every roi window, 8-aligned
+    start, lies in exactly ONE tile);
+  * rois are tile-sorted (XLA argsort on a flat (image, level, ty, tx) key)
+    and streamed through the kernel in that order; the kernel keeps TWO tiles
+    resident in VMEM (double buffer) and, at each tile switch, waits for the
+    prefetched tile and starts the DMA for the NEXT one — the per-tile DMA
+    (~2.2 MB bf16) overlaps the ~100s of rois pooled from the current tile;
+  * pooling is the separable two-matmul form straight off the resident tile:
+        tmp    = W_y[o, 48] @ tile[y0:y0+48, x0*C:(x0+48)C]   (K = 48 rows)
+        pooled = W_x[o, 48] ⋅ tmp.reshape(o, 48, C)  (contract the col dim)
+    (the production kernel's combined Kronecker operator wins only when a
+    per-roi DMA must be overlapped; compute-only, the separable form is
+    ~8% faster and skips the O(o²·K) VPU expansion — probe table in
+    PERF.md);
+  * outputs are written in SORTED order and the permutation is returned.
+    RoIAlign consumers (the box head) are per-roi maps, so callers run the
+    head on the sorted features and unpermute the SMALL head outputs
+    (logits/deltas, ~70 floats/roi) instead of the 25 KB/roi pooled
+    features (models/matchrcnn.box_branch).
+
+Window semantics are IDENTICAL to the production kernel: the same
+start-aligned [PATCH=40, PATCH_W=48]-cell window contract per roi (the 8
+extra tile-local rows only absorb the 8-alignment shift of the row origin,
+never extend the footprint), so ``footprint_clamp_mask`` and the exact-fixup
+escape hatch apply unchanged.  Reference semantics: torchvision
+aligned=False via MultiScaleRoIAlign (/root/reference/models/matchrcnn.py:21-28).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_roi_align import PATCH, PATCH_W, _interp_matrix, _prep_scalars
+
+TILE_H = 72        # resident tile rows; stride 32 ⇒ row halo 40 = PATCH
+TILE_W = 120       # resident tile cols; stride 72 ⇒ col halo 48 = PATCH_W
+ROW_STRIDE = 32
+COL_STRIDE = 72
+WIN_H = PATCH + 8  # row window read per roi: PATCH + the ≤7-row 8-alignment
+                   # shift of the slice origin (slice starts at floor8(y0))
+MINI = 8           # rois per grid program (geometry block sublane alignment)
+
+
+def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
+                trow0_ref, tcol0_ref, nt_ref, geom_ref,
+                f0, f1, f2, f3, out_ref, tile, sems, *,
+                output_size, sampling_ratio, n_groups, c, highest):
+    i = pl.program_id(0)
+    o = output_size
+    refs = (f0, f1, f2, f3)
+
+    def start(rk):
+        """Start the DMA of the tile at (clipped) local rank rk into buffer
+        rk % 2.  Ranks past the last tile re-fetch the last tile (harmless:
+        its buffer is never read; the final wait below retires it)."""
+        rr = jnp.minimum(rk, nt_ref[0] - 1)
+        slot = jax.lax.rem(rk, 2)
+        img = timg_ref[rr]
+        row0 = pl.multiple_of(trow0_ref[rr], 8)
+        col0 = pl.multiple_of(tcol0_ref[rr] * c, 128)
+        lv = tlvl_ref[rr]
+        for lvv, f in enumerate(refs):
+            @pl.when(lv == lvv)
+            def _(f=f):
+                pltpu.make_async_copy(
+                    f.at[img, pl.ds(row0, TILE_H), pl.ds(col0, TILE_W * c)],
+                    tile.at[slot], sems.at[slot],
+                ).start()
+
+    def wait(rk):
+        slot = jax.lax.rem(rk, 2)
+        pltpu.make_async_copy(
+            f0.at[0, pl.ds(0, TILE_H), pl.ds(0, TILE_W * c)],
+            tile.at[slot], sems.at[slot],
+        ).wait()
+
+    for k in range(MINI):
+        j = i * MINI + k
+        if k == 0:
+            @pl.when(i == 0)
+            def _():
+                r0 = rank_ref[0]
+                start(r0)
+                wait(r0)
+                start(r0 + 1)
+
+            @pl.when(i > 0)
+            def _(j=j):
+                rj = rank_ref[j]
+
+                @pl.when(rj != rank_ref[j - 1])
+                def _():
+                    wait(rj)
+                    start(rj + 1)
+        else:
+            rj = rank_ref[j]
+
+            @pl.when(rj != rank_ref[j - 1])
+            def _(rj=rj):
+                wait(rj)
+                start(rj + 1)
+
+        slot = jax.lax.rem(rank_ref[j], 2)
+        row = pl.multiple_of(trow_ref[j], 8)
+        col = pl.multiple_of(tcol_ref[j] * c, 128)
+        seg = tile[slot, pl.ds(row, WIN_H), pl.ds(col, PATCH_W * c)]
+        # pool-folded interp matrices in slice-local coords (prep shifted the
+        # row geometry by the ≤7-row alignment residual)
+        wy = _interp_matrix(geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
+                            geom_ref[k, 5], o, sampling_ratio, WIN_H,
+                            clamp_last=geom_ref[k, 8])
+        wx = _interp_matrix(geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
+                            geom_ref[k, 7], o, sampling_ratio, PATCH_W)
+        dn = (((1,), (0,)), ((), ()))
+        if highest:
+            tmp = jax.lax.dot_general(
+                wy, seg.reshape(WIN_H, PATCH_W * c), dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            tmp = jax.lax.dot_general(
+                wy.astype(jnp.bfloat16), seg.reshape(WIN_H, PATCH_W * c),
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+            )
+        tmp = tmp.reshape(o, PATCH_W, c)
+        pooled = jax.lax.dot_general(
+            wx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if highest else None,
+        )
+        out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
+
+        if k == MINI - 1:
+            @pl.when(i == n_groups - 1)
+            def _(j=j):
+                # retire the one dangling lookahead DMA (started at the last
+                # tile switch; its buffer is never read)
+                wait(rank_ref[j] + 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "sampling_ratio", "interpret", "roi_chunk",
+                     "out_dtype"),
+)
+def pallas_roi_align_resident(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
+    interpret: bool | str = "auto",
+    roi_chunk: int = 2048,
+    out_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile-resident multi-level RoIAlign over a flat, tile-sorted roi order.
+
+    features: per level [B, H_l, W_l, C]; rois [B, R, 4] in image coords.
+    Returns ``(pooled, order)`` with pooled [B·R, out, out, C] in TILE-SORTED
+    order and ``order`` int32 [B·R] the sort permutation: ``pooled[s]`` is
+    the output for original roi ``order[s]`` (flat index ``img·R + r``).
+    Restore original order with ``out.at[order].set(pooled)`` — or, cheaper,
+    run per-roi heads on ``pooled`` and unpermute their small outputs.
+
+    f32 features pool with Precision.HIGHEST (exact); bf16 features round
+    the weight/patch operands at the MXU like the production kernel plus one
+    extra bf16 rounding of the row-pooled intermediate (|err| ≤ 2⁻⁸ rel —
+    the serving profile is approximate by contract, tested ≤2e-2 abs on
+    O(1) features).  VMEM: two [72, 120·C] tiles resident — f32 supports
+    C ≤ 128, bf16 C ≤ 256 (serving).
+    """
+    if interpret == "auto":
+        interpret = jax.default_backend() != "tpu"
+    b, r = rois.shape[:2]
+    c = features[0].shape[-1]
+    cpad = max(0, -c % 128)
+    c128 = c + cpad
+    level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
+    nlv = len(level_shapes)
+    assert nlv == 4, "resident kernel is specialized to the 4-level FPN"
+
+    # Padding: 1 leading cell (torchvision -1 border sample), plus enough
+    # trailing rows/cols that the LAST tile of the stride grid stays in
+    # bounds: max tile end = stride·floor(dim/stride) + tile ≤ dim + tile.
+    padded = [
+        jnp.pad(f, ((0, 0), (1, TILE_H), (1, TILE_W), (0, cpad)))
+        for f in features
+    ]
+    f2d = [p.reshape(b, p.shape[1], p.shape[2] * c128) for p in padded]
+
+    flat_rois = rois.reshape(b * r, 4)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    lvl, y0i, x0p, _nrows, fgeom = _prep_scalars(
+        flat_rois, level_shapes, spatial_scales, output_size
+    )
+    # slice origin = floor8(y0i): shift the row geometry by the residual.
+    # The row window is 8 rows wider than the production patch (WIN_H=48 vs
+    # PATCH=40) purely to absorb this shift — out-of-contract footprints
+    # must still CLAMP at patch row PATCH-1 exactly like the production
+    # kernel (so footprint_clamp_mask / apply_exact_fixup transfer
+    # unchanged); that per-roi dynamic clamp bound (dy + PATCH - 1) rides in
+    # geometry column 8 and feeds _interp_matrix's clamp_last.
+    y0a = (y0i // 8) * 8
+    dy = (y0i - y0a).astype(jnp.float32)
+    fgeom = fgeom.at[:, 0].add(dy)
+    fgeom = fgeom.at[:, 4].add(dy)
+    fgeom = fgeom.at[:, 5].add(dy)
+    fgeom = jnp.concatenate(
+        [fgeom, (dy + (PATCH - 1.0))[:, None],
+         jnp.zeros((fgeom.shape[0], 7), jnp.float32)], axis=1)
+
+    ty = y0i // ROW_STRIDE
+    tx = x0p // COL_STRIDE
+    maxty = level_shapes[0][0] // ROW_STRIDE + 1
+    maxtx = level_shapes[0][1] // COL_STRIDE + 1
+    key = ((img_idx * nlv + lvl) * maxty + ty) * maxtx + tx
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+
+    key_s = key[order]
+    geom_s = fgeom[order]
+    trow = (y0a - ty * ROW_STRIDE)[order]          # ∈ {0, 8, 16, 24}
+    tcol = (x0p - tx * COL_STRIDE)[order]          # 8-aligned, ≤ 64
+    timg_s = img_idx[order]
+    tlvl_s = lvl[order]
+    trow0_s = (ty * ROW_STRIDE)[order]
+    tcol0_s = (tx * COL_STRIDE)[order]
+
+    n = b * r
+    chg = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]])
+    rank = jnp.cumsum(chg.astype(jnp.int32)) - 1   # dense 0-based tile rank
+    n_tiles = rank[-1] + 1
+    # per-rank tile source coords (duplicate scatters write equal values)
+    timg_rk = jnp.zeros((n,), jnp.int32).at[rank].set(timg_s)
+    tlvl_rk = jnp.zeros((n,), jnp.int32).at[rank].set(tlvl_s)
+    trow0_rk = jnp.zeros((n,), jnp.int32).at[rank].set(trow0_s)
+    tcol0_rk = jnp.zeros((n,), jnp.int32).at[rank].set(tcol0_s)
+
+    pad = (-n) % roi_chunk
+    if pad:
+        edge = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                                 mode="edge")
+        rank, trow, tcol, geom_s = map(edge, (rank, trow, tcol, geom_s))
+    npad = n + pad
+    nc = npad // roi_chunk
+
+    # chunk-local ranks + per-chunk rank→tile-coord tables
+    rank_c = rank.reshape(nc, roi_chunk)
+    base = rank_c[:, 0]
+    rank_local = rank_c - base[:, None]
+    ridx = jnp.clip(base[:, None] + jnp.arange(roi_chunk)[None], 0,
+                    n_tiles - 1)
+    timg_c = timg_rk[ridx]
+    tlvl_c = tlvl_rk[ridx]
+    trow0_c = trow0_rk[ridx]
+    tcol0_c = tcol0_rk[ridx]
+    ntl = (rank_c[:, -1] - base + 1).reshape(nc, 1)
+
+    n_groups = roi_chunk // MINI
+    geom_c = geom_s.reshape(nc, n_groups * MINI, 16)
+
+    dtype = padded[0].dtype
+    highest = jnp.dtype(dtype) == jnp.float32
+    kernel = functools.partial(
+        _res_kernel, output_size=output_size, sampling_ratio=sampling_ratio,
+        n_groups=n_groups, c=c128, highest=highest,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((8, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (MINI, output_size, output_size, c128), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_H, TILE_W * c128), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (roi_chunk, output_size, output_size, c128), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+    chunk = lambda a: a.reshape((nc, roi_chunk) + a.shape[1:])
+
+    def body(args):
+        rk, tr, tc, ti, tl, tr0, tc0, nt, geom = args
+        return call(rk, tr, tc, ti, tl, tr0, tc0, nt, geom, *f2d)
+
+    outs = jax.lax.map(
+        body,
+        (rank_local, chunk(trow), chunk(tcol), timg_c, tlvl_c, trow0_c,
+         tcol0_c, ntl, geom_c),
+    )
+    out = outs.reshape(npad, output_size, output_size, c128)[:n]
+    if cpad:
+        out = out[..., :c]
+    return out, order

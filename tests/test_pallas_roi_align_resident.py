@@ -1,0 +1,144 @@
+"""Tile-resident Pallas RoIAlign vs the exact XLA oracle (interpret mode).
+
+Same window contract as the production patch-DMA kernel (agreement is exact
+for in-contract footprints); the resident kernel additionally returns its
+tile-sort permutation, tested round-trip here.  Compiled-on-TPU runs live in
+test_tpu_kernels.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seam_match_rcnn_tpu.ops.pallas_roi_align_resident import (
+    pallas_roi_align_resident,
+)
+from seam_match_rcnn_tpu.ops.roi_align import batched_multilevel_roi_align
+
+from test_pallas_roi_align import make_pyramid, moderate_rois
+
+
+def _exact(feats, rois, out_size=7):
+    return np.asarray(batched_multilevel_roi_align(
+        [jnp.asarray(f, jnp.float32) for f in feats], jnp.asarray(rois),
+        out_size, roi_chunk=min(64, rois.shape[1])))
+
+
+def _unsort(pooled, order):
+    out = np.empty_like(pooled)
+    out[np.asarray(order)] = np.asarray(pooled)
+    return out
+
+
+def test_resident_matches_exact_f32():
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=21)]
+    rois = jnp.asarray(moderate_rois(48, seed=22))[None]
+    pooled, order = pallas_roi_align_resident(feats, rois, 7, interpret=True)
+    got = _unsort(pooled, order).reshape(1, 48, 7, 7, -1)
+    np.testing.assert_allclose(got, _exact(feats, rois), rtol=1e-4, atol=1e-4)
+
+
+def test_resident_multi_image_batch_and_order():
+    b = 3
+    feats = [jnp.asarray(np.stack([make_pyramid(seed=30 + i)[l]
+                                   for i in range(b)]))
+             for l in range(4)]
+    rois = jnp.asarray(np.stack([moderate_rois(16, seed=40 + i)
+                                 for i in range(b)]))
+    pooled, order = pallas_roi_align_resident(feats, rois, 7, interpret=True)
+    o = np.asarray(order)
+    assert sorted(o.tolist()) == list(range(b * 16))  # true permutation
+    # tile key leads with the image index ⇒ images stay contiguous in order
+    assert (np.diff(o // 16) >= 0).all()
+    got = _unsort(pooled, order).reshape(b, 16, 7, 7, -1)
+    np.testing.assert_allclose(got, _exact(feats, rois), rtol=1e-4, atol=1e-4)
+
+
+def test_resident_multiple_chunks_rank_rebase():
+    """roi_chunk < N forces several pallas_calls; chunk-local rank rebasing
+    and the per-chunk rank→tile tables must hold at every boundary."""
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=51, base=(80, 120))]
+    rois = jnp.asarray(
+        moderate_rois(96, img_hw=(320, 480), seed=52, max_aspect=1.6))[None]
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 7, interpret=True, roi_chunk=32)
+    got = _unsort(pooled, order).reshape(1, 96, 7, 7, -1)
+    np.testing.assert_allclose(got, _exact(feats, rois), rtol=1e-4, atol=1e-4)
+
+
+def test_resident_border_and_tiny_boxes():
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=53)]
+    rois = jnp.asarray([[
+        [0.0, 0.0, 30.0, 40.0],
+        [350.0, 220.0, 384.0, 256.0],
+        [0.0, 0.0, 384.0, 256.0],
+        [5.0, 5.0, 6.0, 6.0],
+        [0.0, 0.0, 1.0, 1.0],
+        [380.0, 250.0, 384.0, 256.0],
+        [100.0, 30.0, 180.0, 90.0],
+        [40.0, 200.0, 90.0, 250.0],
+    ]])
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 7, interpret=True, roi_chunk=8)
+    got = _unsort(pooled, order).reshape(1, 8, 7, 7, -1)
+    np.testing.assert_allclose(got, _exact(feats, rois), rtol=1e-4, atol=1e-4)
+
+
+def test_resident_bf16_close_and_out_dtype():
+    feats32 = [jnp.asarray(f)[None] for f in make_pyramid(seed=61)]
+    feats = [f.astype(jnp.bfloat16) for f in feats32]
+    rois = jnp.asarray(moderate_rois(32, seed=62))[None]
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 7, interpret=True, out_dtype=jnp.bfloat16)
+    assert pooled.dtype == jnp.bfloat16
+    got = _unsort(np.asarray(pooled, np.float32), order).reshape(1, 32, 7, 7, -1)
+    # bf16 inputs + one bf16 rounding of the row-pooled intermediate
+    np.testing.assert_allclose(got, _exact(feats32, rois), rtol=0, atol=2e-2)
+
+
+def test_resident_mask_output_size():
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=63)]
+    rois = jnp.asarray(moderate_rois(16, seed=64))[None]
+    pooled, order = pallas_roi_align_resident(feats, rois, 14, interpret=True)
+    got = _unsort(pooled, order).reshape(1, 16, 14, 14, -1)
+    np.testing.assert_allclose(got, _exact(feats, rois, 14), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_resident_jit_grad_free_and_static():
+    """The wrapper is jittable at fixed shapes (it is already jitted; this
+    pins that tracing twice at the same shapes reuses the cache)."""
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=65)]
+    rois = jnp.asarray(moderate_rois(8, seed=66))[None]
+    f = lambda rs: pallas_roi_align_resident(feats, rs, 7, interpret=True)[0]
+    a = f(rois)
+    b = f(rois + 0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (8, 7, 7, feats[0].shape[-1])
+
+
+def test_resident_clamping_rois_match_production_kernel():
+    """Out-of-contract footprints must clamp at the SAME patch edge as the
+    production kernel (dynamic clamp_last = dy + PATCH - 1), so the clamp
+    mask and exact-fixup escape hatch transfer unchanged."""
+    from seam_match_rcnn_tpu.ops.pallas_roi_align import (
+        footprint_clamp_mask, pallas_roi_align_batched)
+
+    from test_pallas_roi_align import extreme_rois
+
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=71)]
+    # band-top high-aspect boxes -> footprints past the 40x48 window
+    rois_np = np.concatenate(
+        [extreme_rois(24, seed=72), moderate_rois(8, seed=73, max_aspect=1.4)])
+    rois = jnp.asarray(rois_np)[None]
+    level_shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
+    mask = np.asarray(footprint_clamp_mask(rois.reshape(-1, 4), level_shapes))
+    assert mask.any(), "fixture must exercise the clamped path"
+
+    prod = np.asarray(pallas_roi_align_batched(
+        feats, rois, 7, interpret=True, roi_chunk=32))
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 7, interpret=True, roi_chunk=32)
+    got = _unsort(np.asarray(pooled), order).reshape(prod.shape)
+    np.testing.assert_allclose(got, prod, rtol=1e-4, atol=1e-4)
