@@ -69,6 +69,7 @@ def main():
 
     PATCH, PATCH_W = pra.PATCH, pra.PATCH_W  # 40, 48
     STRIP_ROWS = 48
+    TALL_ROWS = 72
     C = args.channels
     W = args.width
     MINI = 8
@@ -113,7 +114,9 @@ def main():
         def kern(y_ref, x_ref, nr_ref, geom_ref, *rest):
             if variant in ("res_slice", "res_gated"):
                 strip_ref, f0, out_ref, patch, sem = rest
-            elif variant == "res_mm":
+            elif variant in ("res_mm", "res_mm_dynrow", "res_mm_slot",
+                             "res_mm_full", "res_mm_sw", "res_mm_sw1",
+                             "res_mm_clamp"):
                 strip2d_ref, f0, out_ref, patch, sem = rest
             else:
                 f0, out_ref, patch, sem = rest
@@ -187,6 +190,158 @@ def main():
                         preferred_element_type=jnp.float32,
                     )
                     out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
+                elif variant in ("res_mm_full", "res_mm_sw", "res_mm_sw1"):
+                    # res_mm_slot + everything else the production resident
+                    # kernel does per roi: the tile-switch wait/start pl.when
+                    # machinery (predicated OFF at runtime — nr_ref plays the
+                    # rank array and is constant) with the 4-way level
+                    # dispatch inside start(); _full additionally uses the
+                    # 48-row interp matrix with a dynamic clamp_last (_sw
+                    # keeps the static 40-row + zero-pad build).  Isolates
+                    # the branch-structure cost from the interp cost.
+                    def _start(rk):
+                        rr = jnp.minimum(rk, 0)
+                        sl = jax.lax.rem(rk, 2)
+                        row0 = pl.multiple_of(y_ref[rr], 8)
+                        col0 = pl.multiple_of(x_ref[rr] * C, 128)
+                        if variant == "res_mm_sw1":
+                            # flat-pyramid layout: single unconditional-
+                            # target DMA, no per-level dispatch
+                            pltpu.make_async_copy(
+                                f0.at[0, pl.ds(row0, TALL_ROWS),
+                                      pl.ds(col0, W * C)],
+                                strip2d_ref.at[sl], sem.at[sl],
+                            ).start()
+                            return
+                        lv = jax.lax.rem(x_ref[rr], 4)
+                        for lvv in range(4):
+                            @pl.when(lv == lvv)
+                            def _():
+                                pltpu.make_async_copy(
+                                    f0.at[0, pl.ds(row0, TALL_ROWS),
+                                          pl.ds(col0, W * C)],
+                                    strip2d_ref.at[sl], sem.at[sl],
+                                ).start()
+
+                    def _wait(rk):
+                        sl = jax.lax.rem(rk, 2)
+                        pltpu.make_async_copy(
+                            f0.at[0, pl.ds(0, TALL_ROWS), pl.ds(0, W * C)],
+                            strip2d_ref.at[sl], sem.at[sl],
+                        ).wait()
+
+                    if k == 0:
+                        @pl.when(i == 0)
+                        def _():
+                            r0 = nr_ref[0]
+                            _start(r0)
+                            _wait(r0)
+                            _start(r0 + 1)
+
+                        @pl.when(i > 0)
+                        def _(j=j):
+                            rj = nr_ref[j]
+
+                            @pl.when(rj != nr_ref[j - 1])
+                            def _():
+                                _wait(rj)
+                                _start(rj + 1)
+                    else:
+                        rj = nr_ref[j]
+
+                        @pl.when(rj != nr_ref[j - 1])
+                        def _(rj=rj):
+                            _wait(rj)
+                            _start(rj + 1)
+
+                    x0 = pl.multiple_of(x_ref[j], 8)
+                    y0 = pl.multiple_of(y_ref[j], 8)
+                    if variant == "res_mm_full":
+                        wy48 = pra._interp_matrix(
+                            geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
+                            geom_ref[k, 5], o, ratio, STRIP_ROWS,
+                            clamp_last=geom_ref[k, 5]).astype(jnp.bfloat16)
+                    else:
+                        wy, _ = _wy_wx(geom_ref, k, PATCH)
+                        wy48 = jnp.concatenate(
+                            [wy, jnp.zeros((o, STRIP_ROWS - PATCH),
+                                           jnp.bfloat16)], axis=1)
+                    wx = pra._interp_matrix(
+                        geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
+                        geom_ref[k, 7], o, ratio, PATCH_W)
+                    slot = jax.lax.rem(nr_ref[j], 2)
+                    seg = strip2d_ref[slot, pl.ds(y0, STRIP_ROWS),
+                                      pl.ds(x0 * C, PATCH_W * C)]
+                    tmp = jax.lax.dot_general(
+                        wy48, seg, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(o, PATCH_W, C)
+                    pooled = jax.lax.dot_general(
+                        wx, tmp,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
+                    if k == MINI - 1:
+                        @pl.when(i == pl.num_programs(0) - 1)
+                        def _(j=j):
+                            # retire the dangling lookahead DMA (started at
+                            # init; never waited since no switches fire)
+                            _wait(nr_ref[j] + 1)
+                elif variant == "res_mm_clamp":
+                    # res_mm_slot + the production resident kernel's interp
+                    # matrices: 48-row wy with a DYNAMIC clamp_last bound and
+                    # per-roi generation at full rows (no static 40-row build
+                    # + zero-pad).  Isolates the interp-matrix cost.
+                    x0 = pl.multiple_of(x_ref[j], 8)
+                    y0 = pl.multiple_of(y_ref[j], 8)
+                    wy48 = pra._interp_matrix(
+                        geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
+                        geom_ref[k, 5], o, ratio, STRIP_ROWS,
+                        clamp_last=geom_ref[k, 5]).astype(jnp.bfloat16)
+                    wx = pra._interp_matrix(
+                        geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
+                        geom_ref[k, 7], o, ratio, PATCH_W)
+                    slot = jax.lax.rem(nr_ref[j], 2)
+                    seg = strip2d_ref[slot, pl.ds(y0, STRIP_ROWS),
+                                      pl.ds(x0 * C, PATCH_W * C)]
+                    tmp = jax.lax.dot_general(
+                        wy48, seg, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(o, PATCH_W, C)
+                    pooled = jax.lax.dot_general(
+                        wx.astype(jnp.float32), tmp,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
+                elif variant in ("res_mm_dynrow", "res_mm_slot"):
+                    # the real resident kernel's addressing: dynamic sublane
+                    # row offset (y in {0..24}), and for _slot additionally a
+                    # dynamic leading buffer index into a [2, 72, W*C] ref
+                    x0 = pl.multiple_of(x_ref[j], 8)
+                    y0 = pl.multiple_of(y_ref[j], 8)
+                    wy, wx = _wy_wx(geom_ref, k, PATCH)
+                    wy48 = jnp.concatenate(
+                        [wy, jnp.zeros((o, STRIP_ROWS - PATCH),
+                                       jnp.bfloat16)], axis=1)
+                    if variant == "res_mm_slot":
+                        slot = jax.lax.rem(nr_ref[j], 2)
+                        seg = strip2d_ref[slot, pl.ds(y0, STRIP_ROWS),
+                                          pl.ds(x0 * C, PATCH_W * C)]
+                    else:
+                        seg = strip2d_ref[pl.ds(y0, STRIP_ROWS),
+                                          pl.ds(x0 * C, PATCH_W * C)]
+                    tmp = jax.lax.dot_general(
+                        wy48, seg, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(o, PATCH_W, C)
+                    pooled = jax.lax.dot_general(
+                        wx.astype(jnp.float32), tmp,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
         return kern
 
     def build_call(variant, n, out_dtype=None):
@@ -203,6 +358,15 @@ def main():
         elif variant == "res_mm":
             resident_specs = [pl.BlockSpec(
                 (STRIP_ROWS, W * C), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM)]
+        elif variant == "res_mm_dynrow":
+            resident_specs = [pl.BlockSpec(
+                (TALL_ROWS, W * C), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM)]
+        elif variant in ("res_mm_slot", "res_mm_full", "res_mm_sw",
+                         "res_mm_sw1", "res_mm_clamp"):
+            resident_specs = [pl.BlockSpec(
+                (2, TALL_ROWS, W * C), lambda i, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -231,6 +395,8 @@ def main():
     rng = np.random.RandomState(0)
     strip = jnp.asarray(rng.randn(STRIP_ROWS, W, C), jnp.bfloat16)
     strip2d = strip.reshape(STRIP_ROWS, W * C)
+    strip_tall = jnp.asarray(rng.randn(TALL_ROWS, W * C), jnp.bfloat16)
+    strip_tall2 = jnp.stack([strip_tall, strip_tall])
     f0 = jnp.asarray(
         rng.randn(1, 200 + PATCH + 1, 336 + PATCH_W + 1, C), jnp.bfloat16)
     n, iters = args.rois, args.iters
@@ -242,6 +408,8 @@ def main():
     nrows = jnp.asarray(nr_np.astype(np.int32))
     ys = jnp.asarray(
         (rng.randint(0, 2, (iters, n)) * 8).astype(np.int32))
+    ysw = jnp.asarray(
+        (rng.randint(0, 4, (iters, n)) * 8).astype(np.int32))
     xs = jnp.asarray((rng.randint(0, (W - PATCH_W) // 8, (iters, n)) * 8)
                      .astype(np.int32))
     ysd = jnp.asarray((rng.randint(0, 160, (iters, n)) // 8 * 8)
@@ -259,11 +427,24 @@ def main():
     for name in args.variants.split(","):
         base = name[:-6] if name.endswith("_bf16o") else name
         use_ys = ysd if base in ("combined", "dma_floor") else ys
+        if base in ("res_mm_dynrow", "res_mm_slot", "res_mm_full",
+                    "res_mm_sw", "res_mm_sw1", "res_mm_clamp"):
+            use_ys = ysw
         use_xs = xsd if base in ("combined", "dma_floor") else xs
+        # res_mm_full: nr_ref plays the tile-RANK array — constant zeros so
+        # every tile-switch predicate is false at runtime
+        use_nr = (jnp.zeros_like(nrows)
+                  if base in ("res_mm_full", "res_mm_sw", "res_mm_sw1")
+                  else nrows)
         if base in ("res_slice", "res_gated"):
             resident = (strip,)
         elif base == "res_mm":
             resident = (strip2d,)
+        elif base == "res_mm_dynrow":
+            resident = (strip_tall,)
+        elif base in ("res_mm_slot", "res_mm_full", "res_mm_sw",
+                      "res_mm_sw1", "res_mm_clamp"):
+            resident = (strip_tall2,)
         else:
             resident = ()
         try:
@@ -281,9 +462,12 @@ def main():
                     body, jnp.float32(0), (ys, xs, nrows, geom))
                 return tot
 
-            float(f(resident, f0, use_ys, use_xs, nrows, geom))
+            use_f0 = (f0.reshape(1, f0.shape[1], -1)
+                      if base in ("res_mm_full", "res_mm_sw", "res_mm_sw1")
+                      else f0)
+            float(f(resident, use_f0, use_ys, use_xs, use_nr, geom))
             t0 = time.perf_counter()
-            float(f(resident, f0, use_ys, use_xs, nrows, geom))
+            float(f(resident, use_f0, use_ys, use_xs, use_nr, geom))
             dt = (time.perf_counter() - t0) / iters
             print(f"{name:13s}: {dt*1e3:8.2f} ms / {n} rois  "
                   f"({dt/n*1e6:.3f} us/roi)", flush=True)
