@@ -68,10 +68,12 @@ class RoIHeadsConfig:
     canonical_scale: float = 224.0
     canonical_level: int = 4
     # "xla" (gather-based, exact), "pallas" (patch-DMA kernel, equal
-    # semantics for typical boxes), or "pallas_int8" (patch DMA over a
+    # semantics for typical boxes), "pallas_int8" (patch DMA over a
     # per-channel int8-quantized pyramid — halves the HBM bytes of the
     # bandwidth-bound hot stage at ≤maxabs/254 per-channel noise; approximate
-    # serving profile).  See PERF.md.
+    # serving profile), or "pallas_resident" (tile-resident kernel: shared
+    # VMEM tiles instead of per-roi HBM DMA, ~9x fewer HBM bytes, same
+    # window semantics as "pallas"; INFERENCE-ONLY — no vjp).  See PERF.md.
     roi_align_backend: str = "xla"
     # Exact-fixup escape hatch for the pallas backends: re-run up to this
     # many patch-clamped rois per image through the exact XLA kernel and

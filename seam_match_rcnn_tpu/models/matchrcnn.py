@@ -176,14 +176,32 @@ class MatchRCNN(nn.Module):
                 feats4, rois, output_size, sampling_ratio=c.sampling_ratio,
                 scales=scales, out_dtype=jnp.dtype(feats[0].dtype),
             ))
+        if c.roi_align_backend == "pallas_resident":
+            # tile-resident kernel (shared VMEM tiles instead of per-roi HBM
+            # DMA, ~9x fewer HBM bytes); inference-only — no vjp.  Generic
+            # call sites unpermute the pooled features; the hot 4000-roi box
+            # branch uses the sorted fast path instead (box_branch below).
+            pooled, order = self._resident_roi(feats, rois, output_size)
+            b, r = rois.shape[:2]
+            out = jnp.zeros_like(pooled).at[order].set(pooled)
+            return fixup(out.reshape((b, r) + out.shape[1:]))
         if c.roi_align_backend != "xla":
             raise ValueError(
                 f"unknown roi_align_backend {c.roi_align_backend!r}; "
-                "expected 'xla', 'pallas' or 'pallas_int8'"
+                "expected 'xla', 'pallas', 'pallas_int8' or 'pallas_resident'"
             )
         return batched_multilevel_roi_align(
             feats[:4], rois, output_size,
             sampling_ratio=c.sampling_ratio, roi_chunk=roi_chunk,
+        )
+
+    def _resident_roi(self, feats, rois, output_size):
+        from ..ops.pallas_roi_align_resident import pallas_roi_align_resident
+
+        c = self.cfg.roi_heads
+        return pallas_roi_align_resident(
+            tuple(feats[:4]), rois, output_size, c.sampling_ratio,
+            out_dtype=jnp.dtype(feats[0].dtype),
         )
 
     def box_roi(self, feats, rois, prequant=None):
@@ -199,9 +217,20 @@ class MatchRCNN(nn.Module):
         """-> class_logits [B, R, C] f32, deltas [B, R, 4C] f32."""
         b, r = rois.shape[:2]
         s = self.cfg.roi_heads.box_roi_output
-        x = self.box_roi(feats, rois, prequant).reshape(b * r, s, s, -1)
-        x = self.box_head(x)
-        logits, deltas = self.box_predictor(x)
+        rh = self.cfg.roi_heads
+        if rh.roi_align_backend == "pallas_resident" and rh.roi_align_fixup_budget <= 0:
+            # sorted fast path: run the head on the tile-sorted pooled
+            # features and unpermute only the small per-roi head outputs
+            # (~70 floats/roi) instead of the 25 KB/roi pooled features.
+            pooled, order = self._resident_roi(feats, rois, s)
+            x = self.box_head(pooled.reshape(b * r, s, s, -1))
+            logits, deltas = self.box_predictor(x)
+            logits = jnp.zeros_like(logits).at[order].set(logits)
+            deltas = jnp.zeros_like(deltas).at[order].set(deltas)
+        else:
+            x = self.box_roi(feats, rois, prequant).reshape(b * r, s, s, -1)
+            x = self.box_head(x)
+            logits, deltas = self.box_predictor(x)
         c = self.cfg.num_classes
         return (
             logits.reshape(b, r, c).astype(jnp.float32),

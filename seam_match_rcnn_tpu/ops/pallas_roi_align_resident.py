@@ -49,9 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_roi_align import PATCH, PATCH_W, _interp_matrix, _prep_scalars
 
 TILE_H = 72        # resident tile rows; stride 32 ⇒ row halo 40 = PATCH
-TILE_W = 120       # resident tile cols; stride 72 ⇒ col halo 48 = PATCH_W
+TILE_W = 120       # bf16 tile cols; stride 72 ⇒ col halo 48 = PATCH_W
 ROW_STRIDE = 32
 COL_STRIDE = 72
+# 4-byte dtypes halve the tile width budget (two resident [72, tile_w·C]
+# buffers must fit the 16 MB scoped-VMEM limit at C=256): 96-wide tiles on a
+# 48 stride keep the col halo at 48 = PATCH_W.
+TILE_W_F32 = 96
+COL_STRIDE_F32 = 48
 WIN_H = PATCH + 8  # row window read per roi: PATCH + the ≤7-row 8-alignment
                    # shift of the slice origin (slice starts at floor8(y0))
 MINI = 8           # rois per grid program (geometry block sublane alignment)
@@ -60,7 +65,7 @@ MINI = 8           # rois per grid program (geometry block sublane alignment)
 def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
                 trow0_ref, tcol0_ref, nt_ref, geom_ref,
                 f0, f1, f2, f3, out_ref, tile, sems, *,
-                output_size, sampling_ratio, n_groups, c, highest):
+                output_size, sampling_ratio, n_groups, c, highest, tile_w):
     i = pl.program_id(0)
     o = output_size
     refs = (f0, f1, f2, f3)
@@ -79,14 +84,14 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
             @pl.when(lv == lvv)
             def _(f=f):
                 pltpu.make_async_copy(
-                    f.at[img, pl.ds(row0, TILE_H), pl.ds(col0, TILE_W * c)],
+                    f.at[img, pl.ds(row0, TILE_H), pl.ds(col0, tile_w * c)],
                     tile.at[slot], sems.at[slot],
                 ).start()
 
     def wait(rk):
         slot = jax.lax.rem(rk, 2)
         pltpu.make_async_copy(
-            f0.at[0, pl.ds(0, TILE_H), pl.ds(0, TILE_W * c)],
+            f0.at[0, pl.ds(0, TILE_H), pl.ds(0, tile_w * c)],
             tile.at[slot], sems.at[slot],
         ).wait()
 
@@ -196,11 +201,18 @@ def pallas_roi_align_resident(
     nlv = len(level_shapes)
     assert nlv == 4, "resident kernel is specialized to the 4-level FPN"
 
+    # 4-byte dtypes use the narrower tile (two resident buffers must fit
+    # the 16 MB scoped-VMEM limit at C=256; measured OOM at [72, 120·256]
+    # f32 ×2 = 16.9 MB).
+    wide = jnp.dtype(features[0].dtype).itemsize <= 2
+    tile_w = TILE_W if wide else TILE_W_F32
+    col_stride = COL_STRIDE if wide else COL_STRIDE_F32
+
     # Padding: 1 leading cell (torchvision -1 border sample), plus enough
     # trailing rows/cols that the LAST tile of the stride grid stays in
     # bounds: max tile end = stride·floor(dim/stride) + tile ≤ dim + tile.
     padded = [
-        jnp.pad(f, ((0, 0), (1, TILE_H), (1, TILE_W), (0, cpad)))
+        jnp.pad(f, ((0, 0), (1, TILE_H), (1, tile_w), (0, cpad)))
         for f in features
     ]
     f2d = [p.reshape(b, p.shape[1], p.shape[2] * c128) for p in padded]
@@ -227,20 +239,20 @@ def pallas_roi_align_resident(
          jnp.zeros((fgeom.shape[0], 7), jnp.float32)], axis=1)
 
     ty = y0i // ROW_STRIDE
-    tx = x0p // COL_STRIDE
+    tx = x0p // col_stride
     maxty = level_shapes[0][0] // ROW_STRIDE + 1
-    maxtx = level_shapes[0][1] // COL_STRIDE + 1
+    maxtx = level_shapes[0][1] // col_stride + 1
     key = ((img_idx * nlv + lvl) * maxty + ty) * maxtx + tx
     order = jnp.argsort(key, stable=True).astype(jnp.int32)
 
     key_s = key[order]
     geom_s = fgeom[order]
     trow = (y0a - ty * ROW_STRIDE)[order]          # ∈ {0, 8, 16, 24}
-    tcol = (x0p - tx * COL_STRIDE)[order]          # 8-aligned, ≤ 64
+    tcol = (x0p - tx * col_stride)[order]          # 8-aligned, < col_stride
     timg_s = img_idx[order]
     tlvl_s = lvl[order]
     trow0_s = (ty * ROW_STRIDE)[order]
-    tcol0_s = (tx * COL_STRIDE)[order]
+    tcol0_s = (tx * col_stride)[order]
 
     n = b * r
     chg = jnp.concatenate(
@@ -280,7 +292,7 @@ def pallas_roi_align_resident(
     highest = jnp.dtype(dtype) == jnp.float32
     kernel = functools.partial(
         _res_kernel, output_size=output_size, sampling_ratio=sampling_ratio,
-        n_groups=n_groups, c=c128, highest=highest,
+        n_groups=n_groups, c=c128, highest=highest, tile_w=tile_w,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -294,7 +306,7 @@ def pallas_roi_align_resident(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_H, TILE_W * c128), dtype),
+            pltpu.VMEM((2, TILE_H, tile_w * c128), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -88,3 +88,81 @@ def test_pallas_int8_backend_forward_close():
         np.asarray(out_q["match_features"][0])[v],
         rtol=1e-1, atol=2.5e-1,
     )
+
+
+def test_pallas_resident_backend_matches_xla_forward():
+    """pallas_resident (tile-resident kernel): the box branch runs on
+    tile-sorted pooled features and unpermutes the head outputs; the mask
+    branch unpermutes the pooled features.  f32 pools at Precision.HIGHEST,
+    so the full forward must match the exact XLA backend tightly."""
+    kw = dict(
+        rpn=RPNConfig(pre_nms_top_n_test=60, post_nms_top_n_test=80),
+        compute_dtype="float32",
+    )
+    cfg_x = ModelConfig(roi_heads=RoIHeadsConfig(detections_per_img=6), **kw)
+    cfg_r = ModelConfig(
+        roi_heads=RoIHeadsConfig(detections_per_img=6,
+                                 roi_align_backend="pallas_resident"),
+        **kw,
+    )
+    model_x, variables = init_model(cfg_x, video=True, canvas=(96, 128))
+    model_r = MatchRCNN(cfg=cfg_r, video=True)
+
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.rand(1, 96, 128, 3).astype(np.float32))
+    sizes = jnp.asarray([[96, 128]], jnp.int32)
+    out_x = model_x.apply(variables, images, sizes, method=MatchRCNN.inference)
+    out_r = model_r.apply(variables, images, sizes, method=MatchRCNN.inference)
+
+    np.testing.assert_allclose(
+        np.asarray(out_x["boxes"]), np.asarray(out_r["boxes"]),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x["scores"]), np.asarray(out_r["scores"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    v = np.asarray(out_x["valid"][0])
+    np.testing.assert_allclose(
+        np.asarray(out_x["match_features"][0])[v],
+        np.asarray(out_r["match_features"][0])[v],
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x["masks"][0])[v],
+        np.asarray(out_r["masks"][0])[v],
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_pallas_resident_fixup_budget_path():
+    """fixup_budget > 0 routes the box branch through the generic unpermute
+    path (apply_exact_fixup needs original-order pooled features) — the
+    forward must still match."""
+    kw = dict(
+        rpn=RPNConfig(pre_nms_top_n_test=40, post_nms_top_n_test=48),
+        compute_dtype="float32",
+    )
+    cfg_x = ModelConfig(roi_heads=RoIHeadsConfig(detections_per_img=4), **kw)
+    cfg_r = ModelConfig(
+        roi_heads=RoIHeadsConfig(detections_per_img=4,
+                                 roi_align_backend="pallas_resident",
+                                 roi_align_fixup_budget=8),
+        **kw,
+    )
+    model_x, variables = init_model(cfg_x, video=False, canvas=(96, 128))
+    model_r = MatchRCNN(cfg=cfg_r, video=False)
+
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(1, 96, 128, 3).astype(np.float32))
+    sizes = jnp.asarray([[96, 128]], jnp.int32)
+    out_x = model_x.apply(variables, images, sizes, method=MatchRCNN.inference)
+    out_r = model_r.apply(variables, images, sizes, method=MatchRCNN.inference)
+    np.testing.assert_allclose(
+        np.asarray(out_x["boxes"]), np.asarray(out_r["boxes"]),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x["scores"]), np.asarray(out_r["scores"]),
+        rtol=1e-4, atol=1e-4,
+    )

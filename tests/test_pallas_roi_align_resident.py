@@ -3,7 +3,7 @@
 Same window contract as the production patch-DMA kernel (agreement is exact
 for in-contract footprints); the resident kernel additionally returns its
 tile-sort permutation, tested round-trip here.  Compiled-on-TPU runs live in
-test_tpu_kernels.py.
+test_tpu_compiled.py.
 """
 
 import numpy as np

@@ -176,3 +176,39 @@ def test_tpu_pairwise_scores_compiled():
         want = np.asarray(pairwise_match_scores(x, y, w, b))
     got = np.asarray(pairwise_scores(x, y, w, b, interpret=False))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_tpu_resident_roi_align_f32_c256():
+    """Compiled tile-resident kernel vs exact oracle — f32 at C=256
+    exercises the narrow-tile VMEM path (two [72, 120·256] f32 tiles OOM the
+    16 MB scoped-VMEM limit; regression for the dtype-dependent tile width)."""
+    from seam_match_rcnn_tpu.ops.pallas_roi_align_resident import (
+        pallas_roi_align_resident)
+    from seam_match_rcnn_tpu.ops.roi_align import batched_multilevel_roi_align
+
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=31, c=256)]
+    rois = jnp.asarray(moderate_rois(64, seed=32))[None]
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 7, interpret=False, roi_chunk=64)
+    got = np.empty_like(np.asarray(pooled))
+    got[np.asarray(order)] = np.asarray(pooled)
+    want = np.asarray(batched_multilevel_roi_align(
+        feats, rois, 7, roi_chunk=32)).reshape(64, 7, 7, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tpu_resident_roi_align_bf16():
+    from seam_match_rcnn_tpu.ops.pallas_roi_align_resident import (
+        pallas_roi_align_resident)
+    from seam_match_rcnn_tpu.ops.roi_align import batched_multilevel_roi_align
+
+    feats32 = [jnp.asarray(f)[None] for f in make_pyramid(seed=33, c=256)]
+    feats = [f.astype(jnp.bfloat16) for f in feats32]
+    rois = jnp.asarray(moderate_rois(64, seed=34))[None]
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 7, interpret=False, roi_chunk=64)
+    got = np.empty_like(np.asarray(pooled))
+    got[np.asarray(order)] = np.asarray(pooled)
+    want = np.asarray(batched_multilevel_roi_align(
+        feats32, rois, 7, roi_chunk=32)).reshape(64, 7, 7, -1)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

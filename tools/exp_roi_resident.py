@@ -116,7 +116,7 @@ def main():
                 strip_ref, f0, out_ref, patch, sem = rest
             elif variant in ("res_mm", "res_mm_dynrow", "res_mm_slot",
                              "res_mm_full", "res_mm_sw", "res_mm_sw1",
-                             "res_mm_clamp"):
+                             "res_mm_clamp", "res_mm_fastslow"):
                 strip2d_ref, f0, out_ref, patch, sem = rest
             else:
                 f0, out_ref, patch, sem = rest
@@ -288,6 +288,104 @@ def main():
                             # retire the dangling lookahead DMA (started at
                             # init; never waited since no switches fire)
                             _wait(nr_ref[j] + 1)
+                elif variant == "res_mm_fastslow":
+                    # The r2 bisection showed the 8 per-roi tile-switch
+                    # pl.when blocks cost +0.17 us/roi even predicated OFF
+                    # (res_mm_sw 1.475 vs res_mm_slot 1.303).  This variant
+                    # duplicates the pooling body into a FAST path (zero
+                    # per-roi branches) and a SLOW path (the interleaved
+                    # switch machinery), gated by ONE per-group check:
+                    # rank[last of group] != rank[last of prev group].
+                    # Predicated OFF (rank constant) this measures the
+                    # fast-path floor the production kernel could reach.
+                    if k != 0:
+                        continue  # whole group emitted at k == 0
+
+                    def _start(rk):
+                        rr = jnp.minimum(rk, 0)
+                        sl = jax.lax.rem(rk, 2)
+                        row0 = pl.multiple_of(y_ref[rr], 8)
+                        col0 = pl.multiple_of(x_ref[rr] * C, 128)
+                        lv = jax.lax.rem(x_ref[rr], 4)
+                        for lvv in range(4):
+                            @pl.when(lv == lvv)
+                            def _():
+                                pltpu.make_async_copy(
+                                    f0.at[0, pl.ds(row0, TALL_ROWS),
+                                          pl.ds(col0, W * C)],
+                                    strip2d_ref.at[sl], sem.at[sl],
+                                ).start()
+
+                    def _wait(rk):
+                        sl = jax.lax.rem(rk, 2)
+                        pltpu.make_async_copy(
+                            f0.at[0, pl.ds(0, TALL_ROWS), pl.ds(0, W * C)],
+                            strip2d_ref.at[sl], sem.at[sl],
+                        ).wait()
+
+                    def pool(kk):
+                        jj = i * MINI + kk
+                        x0 = pl.multiple_of(x_ref[jj], 8)
+                        y0 = pl.multiple_of(y_ref[jj], 8)
+                        wy, wx = _wy_wx(geom_ref, kk, PATCH)
+                        wy48 = jnp.concatenate(
+                            [wy, jnp.zeros((o, STRIP_ROWS - PATCH),
+                                           jnp.bfloat16)], axis=1)
+                        slot = jax.lax.rem(nr_ref[jj], 2)
+                        seg = strip2d_ref[slot, pl.ds(y0, STRIP_ROWS),
+                                          pl.ds(x0 * C, PATCH_W * C)]
+                        tmp = jax.lax.dot_general(
+                            wy48, seg, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        ).reshape(o, PATCH_W, C)
+                        pooled = jax.lax.dot_general(
+                            wx.astype(jnp.float32), tmp,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        out_ref[kk] = jnp.swapaxes(pooled, 0, 1).astype(
+                            out_ref.dtype)
+
+                    jlast = i * MINI + MINI - 1
+                    jprev = jnp.maximum(i * MINI - 1, 0)
+                    any_sw = (i == 0) | (nr_ref[jlast] != nr_ref[jprev])
+
+                    @pl.when(any_sw)
+                    def _():
+                        @pl.when(i == 0)
+                        def _():
+                            r0 = nr_ref[0]
+                            _start(r0)
+                            _wait(r0)
+                            _start(r0 + 1)
+                        for k2 in range(MINI):
+                            j2 = i * MINI + k2
+                            if k2 == 0:
+                                @pl.when(i > 0)
+                                def _(j2=j2):
+                                    rj = nr_ref[j2]
+
+                                    @pl.when(rj != nr_ref[j2 - 1])
+                                    def _():
+                                        _wait(rj)
+                                        _start(rj + 1)
+                            else:
+                                rj = nr_ref[j2]
+
+                                @pl.when(rj != nr_ref[j2 - 1])
+                                def _(rj=rj):
+                                    _wait(rj)
+                                    _start(rj + 1)
+                            pool(k2)
+
+                    @pl.when(jnp.logical_not(any_sw))
+                    def _():
+                        for k2 in range(MINI):
+                            pool(k2)
+
+                    @pl.when(i == pl.num_programs(0) - 1)
+                    def _():
+                        _wait(nr_ref[jlast] + 1)
                 elif variant == "res_mm_clamp":
                     # res_mm_slot + the production resident kernel's interp
                     # matrices: 48-row wy with a DYNAMIC clamp_last bound and
@@ -364,7 +462,7 @@ def main():
                 (TALL_ROWS, W * C), lambda i, *_: (0, 0),
                 memory_space=pltpu.VMEM)]
         elif variant in ("res_mm_slot", "res_mm_full", "res_mm_sw",
-                         "res_mm_sw1", "res_mm_clamp"):
+                         "res_mm_sw1", "res_mm_clamp", "res_mm_fastslow"):
             resident_specs = [pl.BlockSpec(
                 (2, TALL_ROWS, W * C), lambda i, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM)]
@@ -428,13 +526,15 @@ def main():
         base = name[:-6] if name.endswith("_bf16o") else name
         use_ys = ysd if base in ("combined", "dma_floor") else ys
         if base in ("res_mm_dynrow", "res_mm_slot", "res_mm_full",
-                    "res_mm_sw", "res_mm_sw1", "res_mm_clamp"):
+                    "res_mm_sw", "res_mm_sw1", "res_mm_clamp",
+                    "res_mm_fastslow"):
             use_ys = ysw
         use_xs = xsd if base in ("combined", "dma_floor") else xs
         # res_mm_full: nr_ref plays the tile-RANK array — constant zeros so
         # every tile-switch predicate is false at runtime
         use_nr = (jnp.zeros_like(nrows)
-                  if base in ("res_mm_full", "res_mm_sw", "res_mm_sw1")
+                  if base in ("res_mm_full", "res_mm_sw", "res_mm_sw1",
+                              "res_mm_fastslow")
                   else nrows)
         if base in ("res_slice", "res_gated"):
             resident = (strip,)
@@ -443,7 +543,7 @@ def main():
         elif base == "res_mm_dynrow":
             resident = (strip_tall,)
         elif base in ("res_mm_slot", "res_mm_full", "res_mm_sw",
-                      "res_mm_sw1", "res_mm_clamp"):
+                      "res_mm_sw1", "res_mm_clamp", "res_mm_fastslow"):
             resident = (strip_tall2,)
         else:
             resident = ()
@@ -463,7 +563,8 @@ def main():
                 return tot
 
             use_f0 = (f0.reshape(1, f0.shape[1], -1)
-                      if base in ("res_mm_full", "res_mm_sw", "res_mm_sw1")
+                      if base in ("res_mm_full", "res_mm_sw", "res_mm_sw1",
+                                  "res_mm_fastslow")
                       else f0)
             float(f(resident, use_f0, use_ys, use_xs, use_nr, geom))
             t0 = time.perf_counter()

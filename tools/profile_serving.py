@@ -19,7 +19,8 @@ def main():
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--roi-backend", default="xla",
-                    choices=["xla", "pallas", "pallas_int8"])
+                    choices=["xla", "pallas", "pallas_int8",
+                             "pallas_resident"])
     ap.add_argument("--stages", default=None,
                     help="comma-separated subset of stages to time")
     args = ap.parse_args()
