@@ -95,32 +95,8 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
             tile.at[slot], sems.at[slot],
         ).wait()
 
-    for k in range(MINI):
+    def pool(k):
         j = i * MINI + k
-        if k == 0:
-            @pl.when(i == 0)
-            def _():
-                r0 = rank_ref[0]
-                start(r0)
-                wait(r0)
-                start(r0 + 1)
-
-            @pl.when(i > 0)
-            def _(j=j):
-                rj = rank_ref[j]
-
-                @pl.when(rj != rank_ref[j - 1])
-                def _():
-                    wait(rj)
-                    start(rj + 1)
-        else:
-            rj = rank_ref[j]
-
-            @pl.when(rj != rank_ref[j - 1])
-            def _(rj=rj):
-                wait(rj)
-                start(rj + 1)
-
         slot = jax.lax.rem(rank_ref[j], 2)
         row = pl.multiple_of(trow_ref[j], 8)
         col = pl.multiple_of(tcol_ref[j] * c, 128)
@@ -152,12 +128,56 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
         )
         out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
 
-        if k == MINI - 1:
-            @pl.when(i == n_groups - 1)
-            def _(j=j):
-                # retire the one dangling lookahead DMA (started at the last
-                # tile switch; its buffer is never read)
-                wait(rank_ref[j] + 1)
+    # The 8 per-roi tile-switch pl.when blocks cost +0.17 us/roi even
+    # predicated OFF (PERF.md r2 bisection) while switches actually fire in
+    # only ~1 group in 10 at serving tile occupancy.  Duplicate the pooling
+    # body into a FAST path (zero per-roi branches) and a SLOW path (the
+    # interleaved wait/start machinery), gated by ONE per-group check —
+    # rank is non-decreasing along the sorted roi stream, so a change
+    # across [last of previous group, last of this group] detects every
+    # switch that could fire inside this group.
+    jlast = i * MINI + MINI - 1
+    jprev = jnp.maximum(i * MINI - 1, 0)
+    any_sw = jnp.logical_or(i == 0, rank_ref[jlast] != rank_ref[jprev])
+
+    @pl.when(any_sw)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            r0 = rank_ref[0]
+            start(r0)
+            wait(r0)
+            start(r0 + 1)
+        for k in range(MINI):
+            j = i * MINI + k
+            if k == 0:
+                @pl.when(i > 0)
+                def _(j=j):
+                    rj = rank_ref[j]
+
+                    @pl.when(rj != rank_ref[j - 1])
+                    def _():
+                        wait(rj)
+                        start(rj + 1)
+            else:
+                rj = rank_ref[j]
+
+                @pl.when(rj != rank_ref[j - 1])
+                def _(rj=rj):
+                    wait(rj)
+                    start(rj + 1)
+            pool(k)
+
+    @pl.when(jnp.logical_not(any_sw))
+    def _():
+        for k in range(MINI):
+            pool(k)
+
+    @pl.when(i == n_groups - 1)
+    def _():
+        # retire the one dangling lookahead DMA (started at the last tile
+        # switch; its buffer is never read)
+        wait(rank_ref[(n_groups - 1) * MINI + MINI - 1] + 1)
 
 
 @functools.partial(

@@ -118,6 +118,63 @@ def test_resident_jit_grad_free_and_static():
     assert a.shape == (8, 7, 7, feats[0].shape[-1])
 
 
+def run_structure_rois(pattern, seed=0):
+    """Deterministic rois with a prescribed TILE-RUN structure (for the
+    fast/slow-path kernel layout: switch machinery runs only in groups whose
+    rank changes).  Tile anchors are chosen to land in the SAME distinct
+    tiles under both the f32 (48-col) and bf16 (72-col) tile strides.
+
+    pattern: list of (anchor_index, run_len) — emitted consecutively, so
+    sorted order preserves the prescribed runs (stable sort on equal keys).
+    Anchors: 4 level-0 tiles [(ty,tx) in {0,1}x{0,1}] + 1 level-1 tile.
+    """
+    rng = np.random.RandomState(seed)
+    # (x0_px, y0_px, side_px): level-0 boxes ~40 px, level-1 ~150 px
+    anchors = [
+        (16.0, 16.0, 40.0), (300.0, 16.0, 40.0),
+        (16.0, 148.0, 40.0), (300.0, 148.0, 40.0),
+        (30.0, 40.0, 150.0),
+    ]
+    rois = []
+    for ai, run in pattern:
+        x0, y0, side = anchors[ai]
+        for _ in range(run):
+            # jitter inside the tile: < 1 cell of the box level
+            cell = 4.0 if side < 100 else 8.0
+            dx, dy = rng.uniform(0, cell * 0.9, 2)
+            ds = rng.uniform(-2.0, 2.0)
+            rois.append([x0 + dx, y0 + dy,
+                         x0 + dx + side + ds, y0 + dy + side + ds])
+    return np.asarray(rois, np.float32)
+
+
+def test_resident_run_structure_patterns():
+    """Adversarial tile-run layouts for the fast/slow kernel structure:
+    (a) runs of exactly MINI=8 — every switch lands at k==0 of a group;
+    (b) singleton runs — many switches inside one group;
+    (c) one long run — pure fast path after group 0;
+    (d) ragged runs straddling group boundaries."""
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=81)]
+    patterns = {
+        "aligned": [(0, 8), (1, 8), (4, 8)],
+        "singletons": [(0, 1), (1, 1), (2, 1), (3, 1), (4, 1), (0, 2), (1, 1)],
+        "one_run": [(3, 24)],
+        "ragged": [(0, 3), (1, 5), (2, 11), (4, 5)],
+    }
+    for name, pat in patterns.items():
+        rois_np = run_structure_rois(pat, seed=82)
+        n = len(rois_np)
+        rois = jnp.asarray(rois_np)[None]
+        # roi_chunk=24 ⇒ 3 groups per kernel launch: groups past the first
+        # take the FAST path whenever their rank doesn't change
+        pooled, order = pallas_roi_align_resident(
+            feats, rois, 7, interpret=True, roi_chunk=24)
+        got = _unsort(np.asarray(pooled), order).reshape(1, n, 7, 7, -1)
+        np.testing.assert_allclose(
+            got, _exact(feats, rois), rtol=1e-4, atol=1e-4,
+            err_msg=f"pattern {name}")
+
+
 def test_resident_clamping_rois_match_production_kernel():
     """Out-of-contract footprints must clamp at the SAME patch edge as the
     production kernel (dynamic clamp_last = dy + PATCH - 1), so the clamp

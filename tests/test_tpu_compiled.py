@@ -197,6 +197,38 @@ def test_tpu_resident_roi_align_f32_c256():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_tpu_resident_run_structure_patterns():
+    """Compiled fast/slow-path structure check: prescribed tile-run layouts
+    (group-aligned runs, singleton runs, one long run, ragged runs).  A
+    missed wait() in the hoisted switch machinery reads an in-flight or
+    stale buffer — invisible in interpret mode (zeroed scratch, synchronous
+    copies), caught compiled."""
+    from seam_match_rcnn_tpu.ops.pallas_roi_align_resident import (
+        pallas_roi_align_resident)
+    from seam_match_rcnn_tpu.ops.roi_align import batched_multilevel_roi_align
+    from tests.test_pallas_roi_align_resident import run_structure_rois
+
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=41, c=256)]
+    patterns = {
+        "aligned": [(0, 8), (1, 8), (4, 8)],
+        "singletons": [(0, 1), (1, 1), (2, 1), (3, 1), (4, 1), (0, 2), (1, 1)],
+        "one_run": [(3, 24)],
+        "ragged": [(0, 3), (1, 5), (2, 11), (4, 5)],
+    }
+    for name, pat in patterns.items():
+        rois_np = run_structure_rois(pat, seed=42)
+        n = len(rois_np)
+        rois = jnp.asarray(rois_np)[None]
+        pooled, order = pallas_roi_align_resident(
+            feats, rois, 7, interpret=False, roi_chunk=24)
+        got = np.empty_like(np.asarray(pooled))
+        got[np.asarray(order)] = np.asarray(pooled)
+        want = np.asarray(batched_multilevel_roi_align(
+            feats, rois, 7, roi_chunk=24)).reshape(n, 7, 7, -1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"pattern {name}")
+
+
 def test_tpu_resident_roi_align_bf16():
     from seam_match_rcnn_tpu.ops.pallas_roi_align_resident import (
         pallas_roi_align_resident)

@@ -53,7 +53,12 @@ def main():
                 "res_gated,res_mm")
     args = ap.parse_args()
 
+    import os
+
     import jax
+    if os.environ.get("SEAM_EXP_CPU"):
+        # sitecustomize clobbers JAX_PLATFORMS; switch in-process (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
