@@ -183,7 +183,11 @@ class MatchRCNN(nn.Module):
             # branch uses the sorted fast path instead (box_branch below).
             pooled, order = self._resident_roi(feats, rois, output_size)
             b, r = rois.shape[:2]
-            out = jnp.zeros_like(pooled).at[order].set(pooled)
+            # invert the tile-sort with a GATHER of the big pooled array
+            # (TPU scatters serialize; the inverting scatter is on [N] ints)
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0], dtype=order.dtype))
+            out = jnp.take(pooled, inv, axis=0)
             return fixup(out.reshape((b, r) + out.shape[1:]))
         if c.roi_align_backend != "xla":
             raise ValueError(
