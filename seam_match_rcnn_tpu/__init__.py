@@ -15,7 +15,7 @@ Everything is designed TPU-first: static shapes with pad-and-mask discipline,
 with in-graph gradient psum, and Pallas kernels for the hot ops.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def __getattr__(name):
