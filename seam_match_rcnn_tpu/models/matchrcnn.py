@@ -203,9 +203,15 @@ class MatchRCNN(nn.Module):
         from ..ops.pallas_roi_align_resident import pallas_roi_align_resident
 
         c = self.cfg.roi_heads
+        # Cap the kernel's chunk at the (static) roi count so small streams
+        # (e.g. the ~100-detection mask/match branch, or single-image serve
+        # queries) aren't padded up to the 2048-roi serving default — the
+        # pad rois would be pooled for real.
+        n = rois.shape[0] * rois.shape[1]
+        chunk = min(2048, -(-n // 8) * 8)
         return pallas_roi_align_resident(
             tuple(feats[:4]), rois, output_size, c.sampling_ratio,
-            out_dtype=jnp.dtype(feats[0].dtype),
+            roi_chunk=chunk, out_dtype=jnp.dtype(feats[0].dtype),
         )
 
     def box_roi(self, feats, rois, prequant=None):

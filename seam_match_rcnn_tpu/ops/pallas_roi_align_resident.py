@@ -62,6 +62,24 @@ WIN_H = PATCH + 8  # row window read per roi: PATCH + the ≤7-row 8-alignment
 MINI = 8           # rois per grid program (geometry block sublane alignment)
 
 
+def tile_sort_keys(lvl, y0i, x0p, img_idx, level0_shape, wide=True):
+    """Per-roi flat (image, level, tile-row, tile-col) sort key + tile coords.
+
+    This IS the kernel's tile assignment (4-level FPN).  Plain array math —
+    works on numpy or jnp inputs — so host-side analyses
+    (tools/analyze_resident_runs.py) share it and cannot drift from the
+    compiled kernel's run structure.  ``wide``: bf16 [72, 120] tiles on a
+    72-col stride; 4-byte dtypes use [72, 96] on a 48-col stride.
+    """
+    col_stride = COL_STRIDE if wide else COL_STRIDE_F32
+    ty = y0i // ROW_STRIDE
+    tx = x0p // col_stride
+    maxty = level0_shape[0] // ROW_STRIDE + 1
+    maxtx = level0_shape[1] // col_stride + 1
+    key = ((img_idx * 4 + lvl) * maxty + ty) * maxtx + tx
+    return key, ty, tx
+
+
 def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
                 trow0_ref, tcol0_ref, nt_ref, geom_ref,
                 f0, f1, f2, f3, out_ref, tile, sems, *,
@@ -208,8 +226,9 @@ def pallas_roi_align_resident(
     the weight/patch operands at the MXU like the production kernel plus one
     extra bf16 rounding of the row-pooled intermediate (|err| ≤ 2⁻⁸ rel —
     the serving profile is approximate by contract, tested ≤2e-2 abs on
-    O(1) features).  VMEM: two [72, 120·C] tiles resident — f32 supports
-    C ≤ 128, bf16 C ≤ 256 (serving).
+    O(1) features).  VMEM: two resident tiles — bf16 uses [72, 120·C]
+    (16.9 MB OOM at f32 C=256), f32 drops to [72, 96·C] on a 48-col stride
+    (14.2 MB at C=256; compiled-TPU-tested at C=256 in test_tpu_compiled).
     """
     if interpret == "auto":
         interpret = jax.default_backend() != "tpu"
@@ -258,11 +277,8 @@ def pallas_roi_align_resident(
         [fgeom, (dy + (PATCH - 1.0))[:, None],
          jnp.zeros((fgeom.shape[0], 7), jnp.float32)], axis=1)
 
-    ty = y0i // ROW_STRIDE
-    tx = x0p // col_stride
-    maxty = level_shapes[0][0] // ROW_STRIDE + 1
-    maxtx = level_shapes[0][1] // col_stride + 1
-    key = ((img_idx * nlv + lvl) * maxty + ty) * maxtx + tx
+    key, ty, tx = tile_sort_keys(lvl, y0i, x0p, img_idx, level_shapes[0],
+                                 wide=wide)
     order = jnp.argsort(key, stable=True).astype(jnp.int32)
 
     key_s = key[order]

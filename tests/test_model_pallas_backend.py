@@ -166,3 +166,37 @@ def test_pallas_resident_fixup_budget_path():
         np.asarray(out_x["scores"]), np.asarray(out_r["scores"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_resident_roi_chunk_capped_for_small_streams(monkeypatch):
+    """_resident_roi caps the kernel's roi_chunk at the (static) roi count
+    rounded to MINI=8 — a ~100-roi mask/match stream must not be padded to
+    the 2048-roi serving default (the pad rois would be pooled for real)."""
+    import seam_match_rcnn_tpu.models.matchrcnn as m
+    from seam_match_rcnn_tpu.ops import pallas_roi_align_resident as res
+
+    captured = {}
+    real = res.pallas_roi_align_resident
+
+    def spy(*args, **kwargs):
+        captured["roi_chunk"] = kwargs.get("roi_chunk")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(res, "pallas_roi_align_resident", spy)
+
+    cfg = ModelConfig(
+        roi_heads=RoIHeadsConfig(roi_align_backend="pallas_resident"),
+        compute_dtype="float32",
+    )
+    model = MatchRCNN(cfg=cfg, video=False)
+    rng = np.random.RandomState(4)
+    shapes = [(24, 32), (12, 16), (6, 8), (3, 4)]
+    feats = [jnp.asarray(rng.randn(2, h, w, 8).astype(np.float32))
+             for h, w in shapes]
+    rois = jnp.asarray(
+        rng.uniform(4, 40, (2, 13, 4)).astype(np.float32))
+    rois = rois.at[..., 2:].set(rois[..., :2] + rois[..., 2:])
+
+    out = model.apply({}, feats, rois, 7, 500, method=MatchRCNN._roi_align)
+    assert out.shape == (2, 13, 7, 7, 8)
+    assert captured["roi_chunk"] == 32  # 26 rois -> next multiple of 8

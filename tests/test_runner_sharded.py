@@ -58,3 +58,29 @@ def test_sharded_runner_pallas_backend(tiny):
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(a["valid"], b["valid"])
+
+
+def test_sharded_runner_resident_backend(tiny):
+    """pallas_resident under the mesh runner: the tile-sorted kernel plus its
+    in-graph unpermute must shard_map cleanly over 'data' (per-shard batch 1,
+    per-shard roi sort) and match the single-device exact path."""
+    model0, variables = tiny
+    from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN
+    import dataclasses
+
+    cfg_r = dataclasses.replace(
+        model0.cfg,
+        roi_heads=dataclasses.replace(
+            model0.cfg.roi_heads, roi_align_backend="pallas_resident"
+        ),
+    )
+    model_r = MatchRCNN(cfg=cfg_r, video=True)
+    rng = np.random.RandomState(2)
+    images = [rng.rand(60, 80, 3).astype(np.float32) for _ in range(8)]
+
+    single = InferenceRunner(model0, variables, chunk=8)(images)
+    mesh = make_mesh(data=8)
+    sharded = InferenceRunner(model_r, variables, chunk=8, mesh=mesh)(images)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(a["valid"], b["valid"])

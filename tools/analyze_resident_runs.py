@@ -41,21 +41,15 @@ def main():
         PATCH, PATCH_W, _prep_scalars)
     from seam_match_rcnn_tpu.ops import pallas_roi_align_resident as res
 
+    from _mix import serving_roi_mix
+
     rng = np.random.RandomState(0)
     b, n = args.batch, args.rois
     shapes = ((200, 336), (100, 168), (50, 84), (25, 42))
     scales = (0.25, 0.125, 0.0625, 0.03125)
 
-    # serving roi mix (same as tools/bench_roi_resident.py)
-    a = np.asarray([0.5, 1.0, 2.0])[rng.randint(0, 3, b * n)] * np.exp(
-        rng.randn(b * n) * 0.2)
-    s = np.exp(rng.uniform(np.log(16.0), np.log(760.0), b * n))
-    bw, bh = s * np.sqrt(a), s / np.sqrt(a)
-    x1 = rng.uniform(0, np.maximum(1344 - bw, 1))
-    y1 = rng.uniform(0, np.maximum(800 - bh, 1))
-    rois = np.stack(
-        [x1, y1, np.minimum(x1 + bw, 1344), np.minimum(y1 + bh, 800)],
-        -1).astype(np.float32)
+    # the shared serving roi mix (identical to tools/bench_roi_resident.py)
+    rois = serving_roi_mix(rng, b, n)
 
     lvl, y0i, x0p, _nr, _g = _prep_scalars(
         jnp.asarray(rois), shapes, scales, 7)
@@ -63,14 +57,12 @@ def main():
     img = np.repeat(np.arange(b), n)
 
     wide = args.dtype == "bfloat16"
-    col_stride = res.COL_STRIDE if wide else res.COL_STRIDE_F32
     tile_w = res.TILE_W if wide else res.TILE_W_F32
     itemsize = 2 if wide else 4
 
-    ty, tx = y0i // res.ROW_STRIDE, x0p // col_stride
-    maxty = shapes[0][0] // res.ROW_STRIDE + 1
-    maxtx = shapes[0][1] // col_stride + 1
-    key = ((img * 4 + lvl) * maxty + ty) * maxtx + tx
+    # the kernel's own tile assignment (shared helper — cannot drift)
+    key, _ty, _tx = res.tile_sort_keys(lvl, y0i, x0p, img, shapes[0],
+                                       wide=wide)
     key_s = np.sort(key)
 
     # dense rank + run lengths

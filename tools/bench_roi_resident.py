@@ -50,26 +50,27 @@ def main():
                          jnp.bfloat16) for h, w in shapes]
 
     n = args.rois
-    a = np.asarray([0.5, 1.0, 2.0])[rng.randint(0, 3, b * n)] * np.exp(
-        rng.randn(b * n) * 0.2)
-    s = np.exp(rng.uniform(np.log(16.0), np.log(760.0), b * n))
     if args.single_tile:
         # everything maps to P2 tile (ty=0, tx=0) of image 0: boxes < 56 px
         # (level 0 band) inside the top-left 100x260 px region
+        rng.randint(0, 3, b * n)  # keep the rng stream aligned with the
+        rng.randn(b * n)          # prior draw order (recorded numbers)
+        rng.uniform(np.log(16.0), np.log(760.0), b * n)
         a = np.exp(rng.randn(b * n) * 0.1)
         s = np.exp(rng.uniform(np.log(24.0), np.log(52.0), b * n))
-    bh, bw = s * np.sqrt(a), s / np.sqrt(a)
-    if args.single_tile:
+        bh, bw = s * np.sqrt(a), s / np.sqrt(a)
         cy = rng.uniform(26, 74, b * n)
         cx = rng.uniform(26, 230, b * n)
+        x1 = np.clip(cx - bw / 2, 0, 1343)
+        y1 = np.clip(cy - bh / 2, 0, 799)
+        x2 = np.clip(cx + bw / 2, x1 + 1, 1344)
+        y2 = np.clip(cy + bh / 2, y1 + 1, 800)
+        flat = np.stack([x1, y1, x2, y2], 1).astype(np.float32)
     else:
-        cy, cx = rng.uniform(0, 800, b * n), rng.uniform(0, 1344, b * n)
-    x1 = np.clip(cx - bw / 2, 0, 1343)
-    y1 = np.clip(cy - bh / 2, 0, 799)
-    x2 = np.clip(cx + bw / 2, x1 + 1, 1344)
-    y2 = np.clip(cy + bh / 2, y1 + 1, 800)
-    rois = jnp.asarray(
-        np.stack([x1, y1, x2, y2], 1).astype(np.float32).reshape(b, n, 4))
+        from _mix import serving_roi_mix
+
+        flat = serving_roi_mix(rng, b, n)
+    rois = jnp.asarray(flat.reshape(b, n, 4))
     roi_seq = jnp.stack([rois + i for i in range(args.iters)])
 
     def run_prod(feats, roi_seq):

@@ -43,19 +43,12 @@ def main():
     feats = [jnp.asarray(rng.randn(b, h, w, 256).astype(np.float32),
                          jnp.bfloat16) for h, w in shapes]
 
-    # serving-like roi mix: log-uniform scale, anchor aspects with jitter
+    # the shared serving roi mix (draw-order identical to the inline
+    # construction these numbers were recorded with)
+    from _mix import serving_roi_mix
+
     n = args.rois
-    a = np.asarray([0.5, 1.0, 2.0])[rng.randint(0, 3, b * n)] * np.exp(
-        rng.randn(b * n) * 0.2)
-    s = np.exp(rng.uniform(np.log(16.0), np.log(760.0), b * n))
-    bh, bw = s * np.sqrt(a), s / np.sqrt(a)
-    cy, cx = rng.uniform(0, 800, b * n), rng.uniform(0, 1344, b * n)
-    x1 = np.clip(cx - bw / 2, 0, 1343)
-    y1 = np.clip(cy - bh / 2, 0, 799)
-    x2 = np.clip(cx + bw / 2, x1 + 1, 1344)
-    y2 = np.clip(cy + bh / 2, y1 + 1, 800)
-    rois = jnp.asarray(
-        np.stack([x1, y1, x2, y2], 1).astype(np.float32).reshape(b, n, 4))
+    rois = jnp.asarray(serving_roi_mix(rng, b, n).reshape(b, n, 4))
     roi_seq = jnp.stack([rois + i for i in range(args.iters)])
 
     results = {}
