@@ -200,6 +200,10 @@ class MatchRCNN(nn.Module):
         )
 
     def _resident_roi(self, feats, rois, output_size):
+        # NOTE: box_branch and mask_roi each call this inside one jitted
+        # forward; the kernel's full-pyramid pad is roi-independent and XLA
+        # CSE merges the duplicates (verified in compiled HLO: one pad op
+        # per FPN level, not two) — no prequant-style hoist needed.
         from ..ops.pallas_roi_align_resident import pallas_roi_align_resident
 
         c = self.cfg.roi_heads
