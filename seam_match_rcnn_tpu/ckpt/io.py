@@ -133,8 +133,12 @@ class CheckpointManager:
         import shutil
 
         for name in os.listdir(self.directory):
+            # substring, not endswith: orbax names staging dirs either
+            # <name>.orbax-checkpoint-tmp or — depending on the API path —
+            # <name>.orbax-checkpoint-tmp-<timestamp>
+            # (orbax _src/path/temporary_paths.py)
             if name == "mid" or name.startswith(".mid-") \
-                    or name.endswith(".orbax-checkpoint-tmp"):
+                    or ".orbax-checkpoint-tmp" in name:
                 p = os.path.join(self.directory, name)
                 if os.path.isdir(p):
                     shutil.rmtree(p)
@@ -178,6 +182,8 @@ class CheckpointManager:
             e for e in os.listdir(self.directory)
             if os.path.isdir(os.path.join(self.directory, e))
             and not e.startswith(".")
-            and not e.endswith(".orbax-checkpoint-tmp")
+            # substring: staging dirs may be suffixed with a timestamp
+            # (<name>.orbax-checkpoint-tmp-<ts>) — never resume from one
+            and ".orbax-checkpoint-tmp" not in e
         )
         return os.path.join(self.directory, entries[-1]) if entries else None

@@ -64,6 +64,13 @@ def build_argparser():
     p.add_argument("--http", type=int, default=None, metavar="PORT",
                    help="serve the JSON API on 127.0.0.1:PORT")
     p.add_argument("--http_host", type=str, default="127.0.0.1")
+    p.add_argument("--media_root", type=str, default=None,
+                   help="restrict HTTP query paths to this directory "
+                        "(request paths are resolved relative to it; "
+                        "escapes are rejected).  Strongly recommended with "
+                        "a non-loopback --http_host — without it any "
+                        "client can point the server at arbitrary local "
+                        "files")
     p.add_argument("--device_ingest", action="store_true",
                    help="raw-frame upload + TPU-fused resize "
                         "(eval/runner ingest='device')")
@@ -110,10 +117,16 @@ def build_gallery_from_json(retr: SeamRetrieval, annots: str,
 
 
 def make_http_server(retr: SeamRetrieval, gallery: Gallery, host: str,
-                     port: int, n_frames_default: int = 10):
+                     port: int, n_frames_default: int = 10,
+                     media_root: str = None):
     """JSON API over http.server (single-threaded on purpose: queries
     serialize on the one device anyway).  Returns the server; caller runs
-    serve_forever()."""
+    serve_forever().
+
+    ``media_root``: when set, request paths are resolved relative to it and
+    must stay inside it (symlink-safe realpath check) — otherwise any
+    client that can reach the socket can probe/read arbitrary local files
+    through the query error strings."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     import jax
@@ -149,6 +162,14 @@ def make_http_server(retr: SeamRetrieval, gallery: Gallery, host: str,
                 path = req.get("video") or req.get("frames_dir")
                 if not path:
                     raise ValueError("body needs 'video' or 'frames_dir'")
+                if media_root is not None:
+                    root = os.path.realpath(media_root)
+                    rp = os.path.realpath(
+                        os.path.join(root, path.lstrip("/")))
+                    if rp != root and not rp.startswith(root + os.sep):
+                        raise ValueError(
+                            "path escapes --media_root")
+                    path = rp
                 frames = load_query_frames(
                     path, int(req.get("n_frames", n_frames_default)))
                 result = retr.retrieve(frames, gallery,
@@ -210,7 +231,8 @@ def main(argv=None):
 
     if args.http is not None:
         server = make_http_server(retr, gallery, args.http_host, args.http,
-                                  n_frames_default=args.n_frames)
+                                  n_frames_default=args.n_frames,
+                                  media_root=args.media_root)
         print(f"serving on http://{args.http_host}:{args.http}  "
               f"(gallery: {len(gallery.keys)} products)")
         try:

@@ -113,16 +113,36 @@ class SeamRetrieval:
         self._ab = np.asarray(p["temporal_aggregator"]["last"]["bias"])
 
     @classmethod
-    def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None, **kw):
+    def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None,
+                        cfg_eval: Optional[EvalConfig] = None, **kw):
+        """``cfg`` is the MODEL config; ``cfg_eval`` the retrieval
+        thresholds (becomes the instance's ``cfg`` — the name differs here
+        only to disambiguate the two)."""
         import os
 
         from .ckpt.io import restore_checkpoint
         from .ckpt.torch_convert import load_torch_checkpoint
 
+        if cfg_eval is not None:
+            kw["cfg"] = cfg_eval
         model, variables = init_model(cfg or serving_model_config(), video=True)
         if os.path.isdir(path):
             payload = restore_checkpoint(path)
-            variables = payload.get("variables", payload)
+            if "variables" in payload:          # phase-2 payload schema
+                variables = payload["variables"]
+            elif "state" in payload or "params" in payload:
+                # phase-1 training payload ({'state': {params, batch_stats,
+                # ...}}) or a bare variables dict: warm-start the video
+                # model like phase-2 does (match -> aggregator clone,
+                # /root/reference/models/video_matchrcnn.py:325-328)
+                from .ckpt.torch_convert import load_pretrained_detector
+
+                variables = load_pretrained_detector(path, variables)
+            else:
+                raise ValueError(
+                    f"unrecognized checkpoint schema at {path}: keys "
+                    f"{sorted(payload)} (expected 'variables' (phase-2) or "
+                    "'state' (phase-1 training payload))")
         else:
             variables = load_torch_checkpoint(path, video=True)
         return cls(model, variables, **kw)
@@ -149,6 +169,10 @@ class SeamRetrieval:
             mf.append(o["match_features"][j])
             af.append(o["aggr_features"][j])
             kk.append(keys[i] if keys else str(i))
+        if not mf:
+            raise ValueError(
+                "no shop image produced a detection >= score_threshold "
+                f"({self.cfg.score_threshold}) — cannot build a gallery")
         return Gallery(np.stack(mf), np.stack(af), kk)
 
     def embed_video(self, frames: Sequence[np.ndarray]) -> Dict[str, np.ndarray]:

@@ -111,7 +111,11 @@ def train_one_epoch_matchrcnn(
         n_total = len(images)
         for bucket in batch_images(images, model.cfg.transform):
             bt = [targets[i] for i in bucket.indices]
-            crop = bt[0]["mask_crops"].shape[-1] if len(bt[0]["mask_crops"]) else 56
+            # empty targets still carry (0, c, c) (data/df2.py), so the
+            # last dim is always the true crop size — no fallback constant
+            # (a hardcoded 56 would break non-default mask_crop_size and
+            # force a spurious recompile on all-empty buckets)
+            crop = bt[0]["mask_crops"].shape[-1]
             gt = pad_targets(bt, g_max, crop)
             batch = {
                 "images": jnp.asarray(bucket.pixels),
@@ -269,7 +273,18 @@ def _best_iou_rows_mdf2(
         else:
             seq_rows[p].append(r)
 
-    rows = [x for x in rows if x[3] not in excluded]
+    # Drop rows of excluded products and REMAP the recorded row indices
+    # (seq_rows / shop_row hold pre-filter positions).  With the in-repo
+    # sampler a product's shop precedes its street frames, so exclusion
+    # always happens before any of its rows are appended and the filter is
+    # a no-op — but the function must not depend on batch item order.
+    remap: Dict[int, int] = {}
+    kept = []
+    for old, x in enumerate(rows):
+        if x[3] not in excluded:
+            remap[old] = len(kept)
+            kept.append(x)
+    rows = kept
     if len(rows) < 2:
         return None
     k = max_rows
@@ -285,8 +300,11 @@ def _best_iou_rows_mdf2(
         if p in excluded:
             continue
         for j, r in enumerate(rws[:t]):
-            seq_gather[p, j] = r
+            seq_gather[p, j] = remap[r]
             seq_mask[p, j] = True
+    for p in range(n_products):
+        if shop_row[p] >= 0 and p not in excluded:
+            shop_row[p] = remap[int(shop_row[p])]
     for p in excluded:
         shop_row[p] = -1
         seq_mask[p] = False

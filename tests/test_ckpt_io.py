@@ -126,3 +126,24 @@ def test_reimpose_types_fails_loudly_on_mismatch(tmp_path):
         _reimpose_types({"s": State(1, 2)}, {"s": [1, 2, 3]})
     with pytest.raises(ValueError):
         _reimpose_types({"s": [1, 2]}, {"s": [1, 2, 3]})
+
+
+def test_latest_skips_timestamped_orbax_tmp(tmp_path):
+    """Orbax names staging dirs <name>.orbax-checkpoint-tmp[-<timestamp>]
+    (orbax _src/path/temporary_paths.py) — a crash-leftover must never be
+    picked by latest() and must be swept by _clear_mid."""
+    import os
+
+    from seam_match_rcnn_tpu.ckpt.io import CheckpointManager, save_checkpoint
+
+    mgr = CheckpointManager(str(tmp_path), save_epochs=2)
+    mgr.maybe_save(0, {"x": 1})
+    for leftover in ("epoch002.orbax-checkpoint-tmp",
+                     "epoch002.orbax-checkpoint-tmp-1723948571"):
+        os.makedirs(tmp_path / leftover)
+    assert mgr.latest() == str(tmp_path / "epoch000")
+    mgr._clear_mid()
+    names = set(os.listdir(tmp_path))
+    assert "epoch002.orbax-checkpoint-tmp" not in names
+    assert "epoch002.orbax-checkpoint-tmp-1723948571" not in names
+    assert "epoch000" in names

@@ -162,3 +162,50 @@ def test_serve_synthetic_end_to_end(monkeypatch, capsys):
     assert payload["track_length"] >= 1
     # the gallery index was persisted and is loadable
     assert any("gallery index" in line for line in out)
+
+
+def test_http_media_root_restriction(mf_root):
+    """--media_root: request paths resolve relative to the root and
+    escapes (absolute or ..) are rejected with a 400, closing the
+    filesystem-probe oracle on non-loopback binds."""
+    from seam_match_rcnn_tpu.cli.serve import make_http_server
+
+    root, annots = mf_root
+    with open(annots) as f:
+        data = json.load(f)
+    rel_vid = data[sorted(data)[0]]["video_paths"][0]
+
+    gallery = Gallery(np.zeros((3, 256), np.float32),
+                      np.zeros((3, 256), np.float32), keys=["p0", "p1", "p2"])
+    server = make_http_server(_FakeRetriever(), gallery, "127.0.0.1", 0,
+                              media_root=root)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def post(body):
+            req = urllib.request.Request(
+                f"{base}/v1/query", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"})
+            return json.load(urllib.request.urlopen(req, timeout=30))
+
+        # relative path inside the root works
+        out = post({"video": rel_vid, "topk": 1, "n_frames": 2})
+        assert out["keys"] == ["p0"]
+
+        # escapes are rejected without touching the filesystem
+        for bad in ({"video": "../../../etc/hostname"},
+                    {"frames_dir": "../.."}):
+            req = urllib.request.Request(
+                f"{base}/v1/query", data=json.dumps(bad).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=10)
+            assert ei.value.code == 400
+            assert "escapes" in json.load(ei.value)["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=5)

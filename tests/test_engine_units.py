@@ -72,3 +72,55 @@ def test_assign_and_sample_invalid_proposals_never_sampled():
     )
     chosen = np.asarray(sample.idx)[np.asarray(sample.valid)]
     assert (chosen < 4).all()
+
+
+def test_best_iou_rows_mdf2_reindexes_after_exclusion():
+    """A product excluded AFTER some of its street rows were appended (street
+    precedes shop in the item stream) must not shift other products' recorded
+    row indices — seq_gather/shop_row are remapped to post-filter positions.
+    Reference semantics: /root/reference/stuffs/engine.py:263-295."""
+    from seam_match_rcnn_tpu.train.engine import _best_iou_rows_mdf2
+
+    def out(scores, boxes):
+        scores = np.asarray(scores, np.float32)
+        return {
+            "scores": scores,
+            "boxes": np.asarray(boxes, np.float32),
+            "valid": np.ones_like(scores, bool),
+        }
+
+    def item(tag, key="0_1", gt=((5, 5, 30, 30),)):
+        style, pair = key.split("_")
+        return {
+            "tag": tag,
+            "key": key,
+            "styles": np.asarray([int(style)], np.int32),
+            "pair_ids": np.asarray([int(pair)], np.int32),
+            "boxes": np.asarray(gt, np.float32),
+        }
+
+    det = [[4, 4, 31, 31], [50, 50, 70, 70]]
+    # order: p0 street (row appended) -> p0 shop (NO detection -> p0
+    # excluded) -> p1 shop -> p1 street
+    outs = [
+        out([0.9, 0.2], det),          # p0 street: best det index 0
+        out([0.1, 0.1], det),          # p0 shop: nothing >= thresh
+        out([0.2, 0.8], [[50, 50, 70, 70], [6, 6, 29, 29]]),  # p1 shop: det 1
+        out([0.7, 0.1], det),          # p1 street: det 0
+    ]
+    items = [item(0), item(1), item(1), item(0)]
+    prods = [0, 0, 1, 1]
+
+    sel = _best_iou_rows_mdf2(outs, items, prods, score_thresh=0.5,
+                              n_products=2, frames_per_product=2,
+                              max_rows=8)
+    assert sel is not None
+    # surviving rows (post-filter order): p1 shop, p1 street
+    assert sel["shop_row"][0] == -1          # excluded
+    assert not sel["seq_mask"][0].any()
+    assert sel["shop_row"][1] == 0
+    assert sel["seq_mask"][1].tolist() == [True, False]
+    r = sel["seq_gather"][1, 0]
+    assert sel["row_img"][r] == 3 and sel["row_det"][r] == 0
+    assert sel["row_img"][sel["shop_row"][1]] == 2
+    assert sel["row_det"][sel["shop_row"][1]] == 1
