@@ -147,36 +147,25 @@ def footprint_clamp_mask(
     (tools/measure_roi_clamp.py, PERF.md) and (b) drive the exact-fixup
     escape hatch in ``pallas_roi_align_fixup``.
     """
-    heights = jnp.asarray([s[0] for s in level_shapes], jnp.float32)
-    widths = jnp.asarray([s[1] for s in level_shapes], jnp.float32)
-    scales = jnp.asarray(spatial_scales, jnp.float32)
-
-    lvl = fpn_level_indices(rois, num_levels=len(level_shapes))
-    sc = scales[lvl]
-    h = heights[lvl]
-    w = widths[lvl]
-
-    x1 = rois[..., 0] * sc
-    y1 = rois[..., 1] * sc
-    roi_w = jnp.maximum(rois[..., 2] * sc - x1, 1.0)
-    roi_h = jnp.maximum(rois[..., 3] * sc - y1, 1.0)
-    bin_w = roi_w / output_size
-    bin_h = roi_h / output_size
-
-    y0 = jnp.clip(jnp.floor(y1) - 1.0, -1.0, jnp.maximum(h - 1.0, 0.0))
-    x0 = jnp.clip(jnp.floor(x1) - 1.0, -1.0, jnp.maximum(w - 1.0, 0.0))
-    x0p = ((x0 + 1.0).astype(jnp.int32) // 8) * 8
-    x0 = x0p.astype(jnp.float32) - 1.0
+    # Derive the geometry from _prep_scalars itself — the mask gates the
+    # exact-fixup escape hatch, so it must be impossible for it to drift
+    # from the kernel's window-origin/alignment math.
+    shape = rois.shape[:-1]
+    _lvl, _y0i, _x0p, _nrows, fgeom = _prep_scalars(
+        rois.reshape(-1, 4), level_shapes, spatial_scales, output_size)
+    sy, sx = fgeom[:, 0], fgeom[:, 1]          # y1 - y0, x1 - x0
+    bin_h, bin_w = fgeom[:, 2], fgeom[:, 3]
+    ymax, xmax = fgeom[:, 5], fgeom[:, 7]      # h - y0, w - x0
 
     # last sub-sample coordinate along each axis (patch-local):
     # start + (out-1)*bin + (ratio-0.5)/ratio*bin
-    cy = (y1 - y0) + output_size * bin_h - bin_h * 0.5 / sampling_ratio
-    cx = (x1 - x0) + output_size * bin_w - bin_w * 0.5 / sampling_ratio
+    cy = sy + output_size * bin_h - bin_h * 0.5 / sampling_ratio
+    cx = sx + output_size * bin_w - bin_w * 0.5 / sampling_ratio
     # image border (exact semantics clamp here too -> not an approximation)
-    cy = jnp.minimum(cy, (h - y0) - 1.0)
-    cx = jnp.minimum(cx, (w - x0) - 1.0)
+    cy = jnp.minimum(cy, ymax - 1.0)
+    cx = jnp.minimum(cx, xmax - 1.0)
     # bilinear reads floor(c)+1: exact while c <= width-1
-    return (cy > PATCH - 1.0) | (cx > PATCH_W - 1.0)
+    return ((cy > PATCH - 1.0) | (cx > PATCH_W - 1.0)).reshape(shape)
 
 
 def _interp_matrix(start, bin_size, lo_bound, hi_bound, out_size, ratio, width,

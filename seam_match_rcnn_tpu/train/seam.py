@@ -123,12 +123,15 @@ def select_rows_host(
 
     # drop rows of retro-excluded products (street images seen before shop)
     rows = [r for r in rows if r[3] not in excluded]
+    # truncate BEFORE the skip check: if every shop row falls past
+    # max_rows, the step must be skipped (engine.py:153), not run with
+    # all-masked losses (which would still advance the optimizer)
+    rows = rows[:max_rows]
     types = np.asarray([r[2] for r in rows], np.int32)
     if len(rows) < 2 or not (types == 0).any() or not (types == 1).any():
         return None  # engine.py:153 skips the step
 
     k = max_rows
-    rows = rows[:k]
     row_img = np.zeros((k,), np.int32)
     row_det = np.zeros((k,), np.int32)
     valid = np.zeros((k,), bool)
@@ -363,6 +366,13 @@ def make_mdf2_head_step(tx: optax.GradientTransformation, n_frames: int = 3):
         grads_full = {"match_predictor": jax.tree.map(jnp.zeros_like, state.params["match_predictor"]),
                       "temporal_aggregator": grads}
         updates, opt_state = tx.update(grads_full, state.opt_state, state.params)
+        # Zero the frozen subtree's UPDATES too: sgd()'s add_decayed_weights
+        # injects wd*w past the zeroed grads, which would decay the frozen
+        # match predictor every step — torch SGD leaves grad-less params
+        # untouched (reference trains only the aggregator here,
+        # /root/reference/stuffs/engine.py:244-245).
+        updates = dict(updates, match_predictor=jax.tree.map(
+            jnp.zeros_like, updates["match_predictor"]))
         new_params = optax.apply_updates(state.params, updates)
         losses = dict(losses, loss=total)
         return HeadState(new_params, new_stats, opt_state, state.step + 1), losses

@@ -142,3 +142,49 @@ def test_polygons_to_crop_alignment():
     crop = rle.polygons_to_crop(poly, box, 28)
     assert crop[:, :12].mean() > 0.9
     assert crop[:, 16:].mean() < 0.1
+
+
+def test_prefetcher_exhaustion_and_error_repoll():
+    """__next__ after the end keeps raising (StopIteration, or the stored
+    worker error) instead of blocking on the dead worker's queue."""
+    from seam_match_rcnn_tpu.data.prefetch import prefetch
+
+    it = prefetch(range(5), depth=2)
+    assert list(it) == [0, 1, 2, 3, 4]
+    import pytest as _pytest
+    with _pytest.raises(StopIteration):
+        next(it)
+    with _pytest.raises(StopIteration):  # and again
+        next(it)
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        next(it)
+    with _pytest.raises(RuntimeError):  # error persists on re-poll
+        next(it)
+
+
+def test_prefetcher_close_unblocks_worker():
+    """close() retires a worker blocked on a full queue (abandoned-iterator
+    path) instead of leaking the thread and its buffered batches."""
+    import itertools
+    import time
+
+    from seam_match_rcnn_tpu.data.prefetch import prefetch
+
+    with prefetch(itertools.count(), depth=2) as it:
+        assert next(it) == 0
+        worker = it._thread
+    # context exit called close(): the infinite producer must be gone
+    deadline = time.time() + 5
+    while worker.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not worker.is_alive()
+    with pytest.raises(StopIteration):
+        next(it)

@@ -110,8 +110,12 @@ def test_seam_head_step_trains():
 
 
 def test_mdf2_head_step_only_aggregator_trains():
+    # weight_decay at the phase-2 default: add_decayed_weights must not
+    # leak past the zeroed grads into the frozen match predictor (torch SGD
+    # leaves grad-less params untouched; reference trains only the
+    # aggregator here, stuffs/engine.py:244-245)
     variables = init_head_variables(seed=5)
-    tx = sgd(lambda s: 0.01, momentum=0.9)
+    tx = sgd(lambda s: 0.01, momentum=0.9, weight_decay=5e-4)
     state = create_head_state(variables, tx)
     step = make_mdf2_head_step(tx)
 
@@ -123,14 +127,24 @@ def test_mdf2_head_step_only_aggregator_trains():
         "seq_gather": jnp.asarray([[1, 2, 3, 4], [7, 8, 9, 0]], jnp.int32),
         "seq_mask": jnp.asarray([[True, True, True, True], [True, True, True, False]]),
     }
-    mp_before = jax.tree.leaves(state.params["match_predictor"])[0]
+    mp_before = jax.tree.map(np.asarray, state.params["match_predictor"])
     ta_before = state.params["temporal_aggregator"]["trunk"]["linear"]["kernel"]
     state, losses = step(state, batch)
     assert np.isfinite(float(losses["loss"]))
-    np.testing.assert_array_equal(
-        np.asarray(mp_before), np.asarray(jax.tree.leaves(state.params["match_predictor"])[0])
-    )
+    for b, a in zip(jax.tree.leaves(mp_before),
+                    jax.tree.leaves(state.params["match_predictor"])):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     assert not np.allclose(
         np.asarray(ta_before),
         np.asarray(state.params["temporal_aggregator"]["trunk"]["linear"]["kernel"]),
     )
+
+
+def test_select_rows_host_skips_when_truncation_drops_all_shops():
+    """The skip check must run on the TRUNCATED rows: if every shop row
+    falls past max_rows the step is skipped (reference engine.py:153), not
+    run with fully-masked losses."""
+    outs = make_outputs(3, d=3, seed=7)
+    tags = [0, 0, 1]  # streets first: their 6 rows fill max_rows=4
+    prods = [0, 0, 0]
+    assert select_rows_host(outs, tags, prods, 0.5, 1, 2, max_rows=4) is None
