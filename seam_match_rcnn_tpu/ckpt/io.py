@@ -172,18 +172,24 @@ class CheckpointManager:
         return dst
 
     def latest(self) -> Optional[str]:
-        """Newest checkpoint dir.  Alphabetical order gives
-        epochNNN < final < mid, which is also recency order: a ``mid``
-        slot only survives until the next epoch-level save
-        (``_clear_mid``), so when present it is the newest state.
-        A crash-leftover ``.mid-*`` staging dir is complete (written
-        before the swap) but never preferred over a real slot."""
+        """Newest checkpoint dir, by modification time (name tiebreak).
+
+        NOT alphabetical: a completed run leaves a ``final`` slot which
+        sorts after every ``epochNNN``, so a relaunch with more epochs
+        (``--auto_resume``) that then gets preempted must resume from the
+        newest epoch save, not the stale ``final``.  ``mid`` only survives
+        until the next epoch-level save (``_clear_mid``), so by mtime it
+        is correctly preferred while it exists.  A crash-leftover
+        ``.mid-*`` staging dir is complete (written before the swap) but
+        never considered."""
         entries = sorted(
-            e for e in os.listdir(self.directory)
-            if os.path.isdir(os.path.join(self.directory, e))
-            and not e.startswith(".")
-            # substring: staging dirs may be suffixed with a timestamp
-            # (<name>.orbax-checkpoint-tmp-<ts>) — never resume from one
-            and ".orbax-checkpoint-tmp" not in e
+            (e for e in os.listdir(self.directory)
+             if os.path.isdir(os.path.join(self.directory, e))
+             and not e.startswith(".")
+             # substring: staging dirs may be suffixed with a timestamp
+             # (<name>.orbax-checkpoint-tmp-<ts>) — never resume from one
+             and ".orbax-checkpoint-tmp" not in e),
+            key=lambda e: (os.path.getmtime(os.path.join(self.directory, e)),
+                           e),
         )
         return os.path.join(self.directory, entries[-1]) if entries else None

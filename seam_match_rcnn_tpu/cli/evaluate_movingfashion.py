@@ -17,6 +17,7 @@ from ..data.movingfashion import MovingFashionDataset
 from ..eval.movingfashion import evaluate
 from ..models.matchrcnn import init_model
 from .train_movingfashion import _eval_products
+from ._args import strtobool
 
 
 def build_argparser():
@@ -26,7 +27,7 @@ def build_argparser():
     p.add_argument("--frames_per_shop_test", type=int, default=10)
     p.add_argument("--first_n_withvideo", type=int, default=100)
     p.add_argument("--score_threshold", type=float, default=0.0)
-    p.add_argument("--noise", type=bool, default=True)
+    p.add_argument("--noise", type=strtobool, default=True)
     p.add_argument("--ckpt_path", type=str, default="ckpt/SEAM/MovingFashion/MF_epoch031")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a tiny synthetic MovingFashion dataset "

@@ -102,8 +102,10 @@ def main(argv=None):
             args.epochs = 1
         # The tiny epoch finishes warmup almost immediately (warmup clamps
         # to steps_per_epoch-1, as in the reference), so the full 0.02 from-
-        # scratch lr diverges at batch 2 — use a smoke-scale lr, f32 compute.
-        args.lr = 0.002
+        # scratch lr diverges at batch 2 — use a smoke-scale lr, f32
+        # compute.  Only when --lr wasn't explicitly passed.
+        if args.lr == 0.02:
+            args.lr = 0.002
         if args.save_dir == "ckpt":  # keep an explicitly-passed save_dir
             args.save_dir = os.path.join(root, "ckpt")
         print(f"synthetic mode: save_dir={args.save_dir}")

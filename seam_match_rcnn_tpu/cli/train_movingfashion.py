@@ -25,6 +25,7 @@ from ..train.engine import train_one_epoch_movingfashion
 from ..train.optim import multistep_warmup_schedule, sgd
 from ..train.seam import create_head_state, make_seam_head_step, merge_head_state
 from ..utils.logging import ScalarWriter
+from ._args import strtobool
 
 
 def build_argparser():
@@ -54,7 +55,7 @@ def build_argparser():
     p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--first_n_withvideo", type=int, default=100)
-    p.add_argument("--noise", type=bool, default=True)
+    p.add_argument("--noise", type=strtobool, default=True)
     # phase-1 checkpoint: torch (reference-released) or orbax
     p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
     p.add_argument("--start_ckpt", type=str, default=None)

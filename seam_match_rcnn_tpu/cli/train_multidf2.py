@@ -24,6 +24,7 @@ from ..train.engine import train_one_epoch_multidf2
 from ..train.optim import multistep_warmup_schedule, sgd
 from ..train.seam import create_head_state, make_mdf2_head_step, merge_head_state
 from ..utils.logging import ScalarWriter
+from ._args import strtobool
 
 
 def build_argparser():
@@ -56,7 +57,7 @@ def build_argparser():
     p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--first_n_withvideo", type=int, default=100)
-    p.add_argument("--noise", type=bool, default=True)
+    p.add_argument("--noise", type=strtobool, default=True)
     p.add_argument("--pretrained_path", type=str, default="ckpt/df2matchrcnn")
     p.add_argument("--start_ckpt", type=str, default=None)
     p.add_argument("--auto_resume", action="store_true",

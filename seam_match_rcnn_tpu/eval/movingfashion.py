@@ -165,7 +165,12 @@ def evaluate(
     accs_per_product = {}
     aggr_jobs = []  # (pidx, source, key, seq [T,256])
 
-    for pidx in range(count_street):
+    # Over ALL gallery indices, not range(count_street): gallery-only
+    # (has_video=False) products occupy pidx slots too, so a video product
+    # can sit at pidx >= count_street when a gallery-only one precedes it —
+    # its rows exist in st_prod and must be scored.  Gallery-only products
+    # fall out at the rows.size check.
+    for pidx in range(len(shop_feats)):
         rows = np.nonzero(st_prod == pidx)[0]
         if rows.size == 0:
             continue
@@ -298,6 +303,9 @@ def evaluate(
 
     if save_artifacts:
         os.makedirs(out_dir, exist_ok=True)
+        # 8 rows with only 0-3 filled replicates the REFERENCE's own CSV
+        # quirk (evaluate_movingfashion.py:126 allocates 8, :435-438 fill
+        # 4) — parity artifact, do not "fix"
         perf = np.zeros((8, len(ks)))
         for row, s in enumerate(("sfmr", "product_max", "avg_desc", "aggr_desc")):
             perf[row] = [metrics["all"][s][k] * 100 for k in ks]

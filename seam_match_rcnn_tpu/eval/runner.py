@@ -160,13 +160,20 @@ class InferenceRunner:
         results, _ = self.run(images, device_keys=())
         return results
 
-    def run(self, images: List[np.ndarray], device_keys=("roi_features",)):
+    def run(self, images: List[np.ndarray], device_keys=None):
         """Like __call__ but keeps the listed output keys ON DEVICE,
         returned separately as [N_images, ...] arrays in original order —
         the phase-2 training path feeds these straight back into the jitted
         head step, avoiding the device→host→device roundtrip of the
         reference's ``output = model(images); roi_features.append(...)``
-        pattern (engine.py:113-144)."""
+        pattern (engine.py:113-144).
+
+        ``device_keys`` defaults to ('roi_features',) when the runner was
+        built with ``with_roi_features=True`` and () otherwise — a
+        default-constructed runner's forward deletes that key, so the old
+        unconditional default crashed."""
+        if device_keys is None:
+            device_keys = ("roi_features",) if self.with_roi else ()
         cfg = self.model.cfg.transform
         batcher = device_batch_images if self.ingest == "device" else batch_images
         results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)

@@ -147,3 +147,23 @@ def test_latest_skips_timestamped_orbax_tmp(tmp_path):
     assert "epoch002.orbax-checkpoint-tmp" not in names
     assert "epoch002.orbax-checkpoint-tmp-1723948571" not in names
     assert "epoch000" in names
+
+
+def test_latest_prefers_newer_epoch_over_stale_final(tmp_path):
+    """--auto_resume relaunch scenario: a completed run's 'final' is OLDER
+    than the relaunch's epoch saves — latest() ranks by mtime, not
+    alphabetically ('final' > 'epochNNN' lexically)."""
+    import os
+    import time
+
+    from seam_match_rcnn_tpu.ckpt.io import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), save_epochs=2)
+    mgr.maybe_save(11, {"x": 1}, final=True)          # first run completes
+    mgr.maybe_save(14, {"x": 2})                      # relaunch, more epochs
+    old = time.time() - 3600
+    os.utime(tmp_path / "final", (old, old))          # make recency explicit
+    assert mgr.latest() == str(tmp_path / "epoch014")
+    # and mid, when present, is the newest of all
+    mgr.save_mid({"x": 3})
+    assert mgr.latest() == str(tmp_path / "mid")

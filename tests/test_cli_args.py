@@ -43,3 +43,21 @@ def test_evalconfig_ingest_reaches_runner(monkeypatch):
     except (RuntimeError, KeyError):
         pass
     assert captured.get("ingest") == "device"
+
+
+def test_noise_flag_parses_false():
+    """type=bool in the reference makes '--noise False' parse as True
+    (train_movingfashion.py:171) — documented bug, not copied: our CLIs
+    accept real booleans."""
+    from seam_match_rcnn_tpu.cli.evaluate_movingfashion import (
+        build_argparser as eval_mf)
+    from seam_match_rcnn_tpu.cli.train_movingfashion import (
+        build_argparser as train_mf)
+    from seam_match_rcnn_tpu.cli.train_multidf2 import (
+        build_argparser as train_mdf2)
+
+    for bp in (eval_mf, train_mf, train_mdf2):
+        assert bp().parse_args([]).noise is True
+        assert bp().parse_args(["--noise", "False"]).noise is False
+        assert bp().parse_args(["--noise", "0"]).noise is False
+        assert bp().parse_args(["--noise", "true"]).noise is True

@@ -171,3 +171,60 @@ def test_evalconfig_gallery_dtype_reaches_scoring(monkeypatch):
                 runner=stub_runner, save_artifacts=False)
     assert len(seen) >= 3  # gallery, self-sim, avg/aggr scoring all ran
     assert all(d == "fp16" for d in seen)
+
+
+def test_eval_scores_video_product_after_gallery_only(monkeypatch):
+    """A gallery-only (has_video=False) product occupies a pidx slot, so a
+    video product AFTER it sits at pidx >= count_street — it must still be
+    scored (the per-product loop runs over gallery indices, not
+    range(count_street))."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.config import EvalConfig
+    from seam_match_rcnn_tpu.eval import movingfashion as mf
+
+    rng = np.random.RandomState(1)
+    f_match = rng.randn(256).astype(np.float32)  # video product's signature
+    f_other = f_match + 5.0                      # gallery-only product's
+
+    def det(feat, n=1):
+        return {
+            "scores": np.full(n, 0.9, np.float32),
+            "valid": np.ones(n, bool),
+            "boxes": np.tile(np.asarray([[1, 1, 20, 30]], np.float32),
+                             (n, 1)),
+            "match_features": np.tile(feat, (n, 1)),
+            "aggr_features": np.tile(feat, (n, 1)),
+        }
+
+    def stub_runner(images):
+        # 1 image = gallery-only shop; 1+T images = video product
+        if len(images) == 1:
+            return [det(f_other)]
+        return [det(f_match) for _ in images]
+
+    # (f_s - f_p)^2 @ W^T + b with W = [+1s; -1s]: identical features ->
+    # logits (0, 0) -> score 0.5; distant features -> class-1 logit << 0
+    w = np.stack([np.ones(256), -np.ones(256)], 0).astype(np.float32)
+    variables = {"params": {
+        "match_predictor": {"last": {"kernel": w.T,
+                                     "bias": np.zeros(2, np.float32)}},
+        "temporal_aggregator": {"last": {"kernel": w.T,
+                                         "bias": np.zeros(2, np.float32)}},
+    }}
+    products = [
+        {"images": [np.zeros((32, 40, 3), np.float32)],
+         "tracklet_gt": [], "source": 1, "key": "g0", "has_video": False},
+        {"images": [np.zeros((32, 40, 3), np.float32)] * 4,
+         "tracklet_gt": [np.asarray([1, 1, 20, 30], np.float32)] * 3,
+         "source": 1, "key": "p1", "has_video": True},
+    ]
+    monkeypatch.setattr(
+        mf, "_aggregate_batch",
+        lambda model, variables, seqs, mask: seqs.mean(axis=1))
+    top1, top1_avg, top1_aggr = mf.evaluate(
+        None, variables, products,
+        cfg=EvalConfig(frames_per_product=3),
+        runner=stub_runner, save_artifacts=False)
+    # the video product's GT shop must rank first for every frame query
+    assert top1 == 1.0 and top1_avg == 1.0

@@ -84,3 +84,15 @@ def test_sharded_runner_resident_backend(tiny):
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(a["valid"], b["valid"])
+
+
+def test_runner_run_default_device_keys(tiny):
+    """run() on a default runner (with_roi_features=False) must not request
+    the deleted 'roi_features' output — device_keys defaults from the
+    constructor flag."""
+    model, variables = tiny
+    rng = np.random.RandomState(5)
+    images = [rng.rand(60, 80, 3).astype(np.float32)]
+    runner = InferenceRunner(model, variables, chunk=1)
+    results, dev = runner.run(images)
+    assert dev == {} and len(results) == 1
