@@ -52,7 +52,11 @@ class MovingFashionDataset:
     def shop_image(self, i: int) -> Dict:
         entry = self.data[self.product_ids[i]]
         path = os.path.join(self.root, entry["img_path"])
-        img = cv2.imread(path, cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR->RGB
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:  # missing/corrupt file: name it instead of a
+            raise FileNotFoundError(  # 'NoneType not subscriptable' mid-run
+                f"shop image unreadable: {path}")
+        img = img[:, :, ::-1]  # BGR->RGB
         return {
             "image": np.asarray(img, np.float32) / 255.0,
             "tag": 1,
@@ -69,7 +73,13 @@ class MovingFashionDataset:
         returns the annotated tracklet box when present."""
         entry = self.data[self.product_ids[i]]
         paths = entry["video_paths"]
+        # all rng draws happen UP FRONT, unconditionally, so
+        # consume_frame_draws() can keep self.rng aligned during a
+        # mid-epoch-resume fast-forward without decoding anything
         vi = self.rng.randrange(len(paths)) if video_i is None else video_i
+        if self.noise:
+            sigma = 0.25 if self.rng.random() > 0.75 else 0.05
+            gen = np.random.default_rng(self.rng.getrandbits(64))
         cap = cv2.VideoCapture(os.path.join(self.root, paths[vi]))
         n_frames = cap.get(cv2.CAP_PROP_FRAME_COUNT)
         index2 = int(n_frames * frac)
@@ -87,8 +97,11 @@ class MovingFashionDataset:
         else:
             img = frame[:, :, ::-1].astype(np.float32) / 255.0
             if self.noise:
-                sigma = 0.25 if self.rng.random() > 0.75 else 0.05
-                img = np.clip(img + np.random.randn(*img.shape) * sigma, 0.0, 1.0)
+                # noise field from the per-dataset rng (the reference uses
+                # the GLOBAL np.random, MFDataset.py:86 — unreproducible;
+                # not copied): same seed -> same frames bit-exactly
+                img = np.clip(
+                    img + gen.standard_normal(img.shape) * sigma, 0.0, 1.0)
                 h, w = img.shape[:2]
                 img = cv2.resize(img, (w // 2, h // 2), interpolation=cv2.INTER_LINEAR)
                 # reference noise path: float->uint8 round-trip (MFDataset.py:88-89)
@@ -104,6 +117,19 @@ class MovingFashionDataset:
             "tracklet": tracklet,
             "key": self.product_ids[i],
         }
+
+    def consume_frame_draws(self, i: int, video_i: Optional[int] = None):
+        """Consume exactly the rng draws ``video_frame(i, ...)`` would make,
+        without decoding — the mid-epoch-resume fast-forward
+        (``product_batches`` skip_batches) uses this so the surviving
+        batches replay bit-identically (video choice, noise sigma AND the
+        noise field's generator seed all ride on ``self.rng``)."""
+        entry = self.data[self.product_ids[i]]
+        if video_i is None:
+            self.rng.randrange(len(entry["video_paths"]))
+        if self.noise:
+            self.rng.random()
+            self.rng.getrandbits(64)
 
 
 def product_batches(
@@ -142,12 +168,20 @@ def product_batches(
         if fixed_frames is not None:
             fracs = list(fixed_frames)
         elif uniform_sampling:
+            # endpoint 1.0 kept for parity: the reference's uniform branch
+            # is linspace(0, 1, F) too (MFDataset.py:173); frac 1.0 seeks
+            # one past the last frame and yields the reference's 100x100
+            # dummy — reference behavior, not a bug to fix here
             fracs = list(np.linspace(0.0, 1.0, frames_per_product))
         else:
             fracs = sorted(rng.random() for _ in range(frames_per_product))
         if skipped < skip_batches:
-            # mid-epoch resume fast-forward: consume the rng draws so the
-            # remaining batches replay identically, but never decode
+            # mid-epoch resume fast-forward: consume BOTH the sampler rng
+            # draws (fracs above) and the dataset rng draws (video choice,
+            # noise sigma + field seed) so the remaining batches replay
+            # bit-identically, but never decode
+            for _ in fracs:
+                dataset.consume_frame_draws(i, fixed_video_i)
             per_batch += 1
             if per_batch == n_products:
                 skipped += 1

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import EvalConfig
 from ..ops.rle import box_iou_xywh
-from .gallery import score_matrix
+from .gallery import rank_of, score_matrix
 from .movingfashion import _aggregate_batch
 
 STRATEGIES = ("sfmr", "product_max", "avg_desc", "aggr_desc",
@@ -106,6 +106,9 @@ def evaluate(
             street["img"].append(i)
             street["score"].append(float(o["scores"][j]))
 
+    if not shop_feats or not street["feat"]:
+        print("evaluate: no usable shop/street detections")
+        return 0.0, 0.0, 0.0
     shop_mat = np.stack(shop_feats)
     shop_aggr_mat = np.stack(shop_aggr)
     st_feat = np.stack(street["feat"])
@@ -120,18 +123,19 @@ def evaluate(
     aggr_jobs = []
     accs_per_product = {}
 
-    for pidx in range(count_street):
+    # over ALL gallery indices, not range(count_street): gallery-only
+    # (has_video=False) products occupy pidx slots too, so a video product
+    # after one sits at pidx >= count_street — its queries must be scored
+    # (same fix as eval/movingfashion.py; gallery-only products fall out at
+    # the rows.size check)
+    for pidx in range(len(shop_feats)):
         rows = np.nonzero(st_prod == pidx)[0]
         if rows.size == 0:
             continue
         key = shop_keys[pidx]
-        ranks = []
-        dists = []
-        for r in rows:
-            order = np.argsort(scores_qg[r])[::-1]
-            rank = int(np.nonzero(order == pidx)[0][0])
-            ranks.append(rank)
-            dists.append(scores_qg[r])
+        ranks = [int(r) for r in rank_of(scores_qg[rows], pidx)]
+        dists = [scores_qg[r] for r in rows]
+        for rank in ranks:
             for j, k in enumerate(ks):
                 if rank < k:
                     hits["sfmr"][j] += 1
@@ -149,21 +153,21 @@ def evaluate(
         aggr_jobs.append((pidx, key, st_aggr[rows]))
 
         avg = st_feat[rows].mean(0, keepdims=True)
-        avg_scores = score_matrix(avg, shop_mat, w, b, dtype=cfg.gallery_dtype)[0]
-        rank = int(np.nonzero(np.argsort(avg_scores)[::-1] == pidx)[0][0])
+        avg_scores = score_matrix(avg, shop_mat, w, b, dtype=cfg.gallery_dtype)
+        rank = int(rank_of(avg_scores, pidx)[0])
         for j, k in enumerate(ks):
             if rank < k:
                 hits["avg_desc"][j] += 1
 
         dists = np.stack(dists)
         for strat, vec in (("avg_dist", dists.mean(0)), ("max_dist", dists.max(0))):
-            rank = int(np.nonzero(np.argsort(vec)[::-1] == pidx)[0][0])
+            rank = int(rank_of(vec[None], pidx)[0])
             for j, k in enumerate(ks):
                 if rank < k:
                     hits[strat][j] += 1
 
         r = int(rows[int(np.argmax(st_score[rows]))])
-        rank = int(np.nonzero(np.argsort(scores_qg[r])[::-1] == pidx)[0][0])
+        rank = int(rank_of(scores_qg[r][None], pidx)[0])
         for j, k in enumerate(ks):
             if rank < k:
                 hits["max_score"][j] += 1
@@ -178,7 +182,7 @@ def evaluate(
         agg = _aggregate_batch(model, variables, seqs, mask)
         agg_scores = score_matrix(agg, shop_aggr_mat, aggr_w, aggr_b, dtype=cfg.gallery_dtype)
         for i, (pidx, key, _) in enumerate(aggr_jobs):
-            rank = int(np.nonzero(np.argsort(agg_scores[i])[::-1] == pidx)[0][0])
+            rank = int(rank_of(agg_scores[i][None], pidx)[0])
             for j, k in enumerate(ks):
                 if rank < k:
                     hits["aggr_desc"][j] += 1

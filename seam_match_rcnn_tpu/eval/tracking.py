@@ -19,8 +19,19 @@ from typing import List, Sequence
 
 import numpy as np
 
-from ..ops import boxes as box_ops
-import jax.numpy as jnp
+
+def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pure-numpy pairwise IoU [Na, Nb] — this module stays host-only; a
+    jnp round-trip per product in the eval loop paid device dispatch +
+    ~1 MB/s transfers for microseconds of arithmetic."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
 
 
 def build_tracklets(
@@ -71,11 +82,17 @@ def select_tracklet(
     gt_tracklet_per_img: np.ndarray,
 ) -> int:
     """Oracle tracklet pick (evaluate_movingfashion.py:202-213): summed
-    per-box max IoU vs the annotated GT tracklet boxes of each frame."""
+    per-box max IoU vs the annotated GT tracklet boxes of each frame.
+
+    The guarded-union IoU scores an unannotated frame's [-1,-1,-1,-1]
+    placeholder as 0; the reference's torchvision box_iou yields 0/0 = NaN
+    there, making its np.argmax pick the first NaN track arbitrarily —
+    documented divergence from a reference bug, not copied."""
     ious = []
     for track in tracklets:
         pred = boxes[np.asarray(track)]
         gt = np.stack([gt_tracklet_per_img[img_of_box[i]] for i in track])
-        iou = np.asarray(box_ops.box_iou(jnp.asarray(pred), jnp.asarray(gt)))
+        iou = _iou_xyxy(np.asarray(pred, np.float64),
+                        np.asarray(gt, np.float64))
         ious.append(float(np.sum(np.max(iou, axis=-1))))
     return int(np.argmax(np.asarray(ious)))

@@ -228,3 +228,98 @@ def test_eval_scores_video_product_after_gallery_only(monkeypatch):
         runner=stub_runner, save_artifacts=False)
     # the video product's GT shop must rank first for every frame query
     assert top1 == 1.0 and top1_avg == 1.0
+
+
+def test_multidf2_eval_scores_video_product_after_gallery_only(monkeypatch):
+    """Same pidx-vs-count_street fix as the MovingFashion harness, for
+    MultiDF2: a gallery-only product preceding a video product must not
+    stop the video product's queries from being scored."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.config import EvalConfig
+    from seam_match_rcnn_tpu.eval import multidf2 as md
+
+    f_match = np.random.RandomState(2).randn(256).astype(np.float32)
+    f_other = f_match + 5.0
+
+    def det(feat, n=1):
+        return {
+            "scores": np.full(n, 0.9, np.float32),
+            "valid": np.ones(n, bool),
+            "boxes": np.tile(np.asarray([[1, 1, 20, 30]], np.float32),
+                             (n, 1)),
+            "match_features": np.tile(feat, (n, 1)),
+            "aggr_features": np.tile(feat, (n, 1)),
+        }
+
+    def stub_runner(images):
+        if len(images) == 1:
+            return [det(f_other)]
+        return [det(f_match) for _ in images]
+
+    def target():
+        return {
+            "styles": np.asarray([1], np.int32),
+            "pair_ids": np.asarray([7], np.int32),
+            "boxes": np.asarray([[1, 1, 20, 30]], np.float32),
+        }
+
+    w = np.stack([np.ones(256), -np.ones(256)], 0).astype(np.float32)
+    variables = {"params": {
+        "match_predictor": {"last": {"kernel": w.T,
+                                     "bias": np.zeros(2, np.float32)}},
+        "temporal_aggregator": {"last": {"kernel": w.T,
+                                         "bias": np.zeros(2, np.float32)}},
+    }}
+    products = [
+        {"images": [np.zeros((32, 40, 3), np.float32)],
+         "targets": [target()], "key": "1_7", "has_video": False},
+        {"images": [np.zeros((32, 40, 3), np.float32)] * 4,
+         "targets": [target()] * 4, "key": "1_7", "has_video": True},
+    ]
+    monkeypatch.setattr(
+        md, "_aggregate_batch",
+        lambda model, variables, seqs, mask: seqs.mean(axis=1))
+    top1, top1_avg, top1_aggr = md.evaluate(
+        None, variables, products,
+        cfg=EvalConfig(score_threshold=0.0, tracking_threshold=0.7,
+                       frames_per_product=3),
+        runner=stub_runner, save_artifacts=False)
+    assert top1 == 1.0 and top1_avg == 1.0 and top1_aggr == 1.0
+
+
+def test_multidf2_eval_empty_detections_returns_zeros():
+    """No usable detections must return (0,0,0) like the MF harness, not
+    crash in np.stack."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.config import EvalConfig
+    from seam_match_rcnn_tpu.eval import multidf2 as md
+
+    def stub_runner(images):
+        return [{
+            "scores": np.zeros(1, np.float32),
+            "valid": np.zeros(1, bool),
+            "boxes": np.zeros((1, 4), np.float32),
+            "match_features": np.zeros((1, 256), np.float32),
+            "aggr_features": np.zeros((1, 256), np.float32),
+        } for _ in images]
+
+    variables = {"params": {
+        "match_predictor": {"last": {"kernel": np.zeros((256, 2), np.float32),
+                                     "bias": np.zeros(2, np.float32)}},
+        "temporal_aggregator": {"last": {"kernel": np.zeros((256, 2), np.float32),
+                                         "bias": np.zeros(2, np.float32)}},
+    }}
+    products = [{"images": [np.zeros((32, 40, 3), np.float32)] * 2,
+                 "targets": [{"styles": np.asarray([1]),
+                              "pair_ids": np.asarray([7]),
+                              "boxes": np.asarray([[1, 1, 20, 30]],
+                                                  np.float32)}] * 2,
+                 "key": "1_7", "has_video": True}]
+    out = md.evaluate(None, variables, products,
+                      cfg=EvalConfig(score_threshold=0.5,
+                                     tracking_threshold=0.7,
+                                     frames_per_product=1),
+                      runner=stub_runner, save_artifacts=False)
+    assert out == (0.0, 0.0, 0.0)

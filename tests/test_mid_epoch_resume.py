@@ -121,6 +121,10 @@ class _FakeProductDataset:
         self.loaded.append(("frame", i))
         return {"kind": "frame", "i": i, "frac": frac}
 
+    def consume_frame_draws(self, i, video_i=None):
+        # rng-only fast-forward surface: must never count as a load
+        pass
+
     # MultiDF2 surface
     def shop_view(self, p):
         self.loaded.append(("shop", p))
@@ -253,3 +257,31 @@ def test_save_mid_roundtrip_and_detection(tmp_path):
     payload3, is_mid3 = restore_training_checkpoint(
         str(tmp_path / "epoch002"), {"state": state, "epoch": 0})
     assert not is_mid3 and int(payload3["epoch"]) == 2
+
+
+def test_skip_batches_replays_dataset_rng_bitexact(tmp_path):
+    """The fast-forward consumes the DATASET rng draws too (video choice,
+    noise sigma, noise-field seed), so the surviving batches' decoded
+    pixels are bit-identical to the uninterrupted run's."""
+    import random
+
+    from seam_match_rcnn_tpu.data.movingfashion import (
+        MovingFashionDataset, product_batches)
+    from seam_match_rcnn_tpu.data.synthetic import make_synthetic_movingfashion
+
+    annots = make_synthetic_movingfashion(str(tmp_path), n_products=4,
+                                          n_frames=6)
+    kw = dict(n_products=2, frames_per_product=2, seed=3, epoch=1,
+              drop_last=True)
+
+    def run(skip):
+        ds = MovingFashionDataset(annots, root=str(tmp_path), noise=True,
+                                  rng=random.Random(11))
+        return list(product_batches(ds, skip_batches=skip, **kw))
+
+    full = run(0)
+    resumed = run(1)
+    assert len(resumed) == len(full) - 1
+    for b_full, b_res in zip(full[1:], resumed):
+        for it_full, it_res in zip(b_full, b_res):
+            np.testing.assert_array_equal(it_full["image"], it_res["image"])
