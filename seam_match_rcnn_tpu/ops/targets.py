@@ -46,6 +46,14 @@ def match_proposals(
 
     if allow_low_quality:
         # For each gt, proposals tying its best quality keep the raw match.
+        # DELIBERATE deviation (documented, per the parity-notes policy):
+        # the `best_per_gt > 0` guard skips gts with ZERO overlap against
+        # every anchor.  torchvision's set_low_quality_matches_ has no
+        # guard, so such a degenerate gt would mark ALL zero-IoU anchors
+        # (i.e. every anchor not overlapping it) as its positives —
+        # clearly unintended reference behavior; here they stay
+        # background.  tests/test_targets.py pins both the parity on
+        # nonzero-best rows and this zero-best divergence.
         best_per_gt = jnp.max(quality, axis=1, keepdims=True)  # [G, 1]
         is_best = (quality == best_per_gt) & gt_valid[:, None] & (best_per_gt > 0)
         pred_is_some_best = jnp.any(is_best, axis=0)

@@ -36,12 +36,9 @@ def create_train_state(variables, tx: optax.GradientTransformation) -> TrainStat
     )
 
 
-def make_phase1_step(model: MatchRCNN, tx: optax.GradientTransformation):
-    """Returns step(state, batch, rng) -> (state, loss_dict).
-
-    batch: images [B,H,W,3], sizes [B,2], gt dict (see
-    MatchRCNN.training_losses).
-    """
+def _phase1_loss_fn(model: MatchRCNN):
+    """Shared phase-1 loss closure: ONE definition so the plain step and
+    the grad-accumulation triple can never silently diverge."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -51,6 +48,17 @@ def make_phase1_step(model: MatchRCNN, tx: optax.GradientTransformation):
         )
         total = sum(losses.values())
         return total, (losses, mut["batch_stats"])
+
+    return loss_fn
+
+
+def make_phase1_step(model: MatchRCNN, tx: optax.GradientTransformation):
+    """Returns step(state, batch, rng) -> (state, loss_dict).
+
+    batch: images [B,H,W,3], sizes [B,2], gt dict (see
+    MatchRCNN.training_losses).
+    """
+    loss_fn = _phase1_loss_fn(model)
 
     @jax.jit
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -89,15 +97,7 @@ def make_phase1_grad_apply(model: MatchRCNN, tx: optax.GradientTransformation):
     is per-image rather than per-pair (documented deviation, same direction
     as the reference's own per-batch pair-count normalization).
     """
-
-    def loss_fn(params, batch_stats, batch, rng):
-        variables = {"params": params, "batch_stats": batch_stats}
-        losses, mut = model.apply(
-            variables, batch["images"], batch["sizes"], batch["gt"], rng,
-            method=MatchRCNN.training_losses, mutable=["batch_stats"],
-        )
-        total = sum(losses.values())
-        return total, (losses, mut["batch_stats"])
+    loss_fn = _phase1_loss_fn(model)
 
     @jax.jit
     def grad_fn(state: TrainState, batch, rng, weight):

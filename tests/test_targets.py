@@ -77,3 +77,18 @@ def test_iou_quality_pipeline():
     q = box_iou(gts, props)
     m = np.asarray(match_proposals(q, jnp.ones(2, bool), 0.5, 0.5))
     assert m[0] == 0 and m[1] == 1 and m[2] == BELOW_LOW_THRESHOLD
+
+
+def test_matcher_zero_overlap_gt_stays_background():
+    """Documented deviation from torchvision: a gt with ZERO IoU against
+    every anchor does NOT promote all those zero-IoU anchors to positives
+    (torchvision's unguarded set_low_quality_matches_ would — degenerate
+    reference behavior, not copied; see ops/targets.py)."""
+    q = np.zeros((2, 10), np.float32)
+    q[0, 3] = 0.8          # gt 0 overlaps anchor 3; gt 1 overlaps nothing
+    out = np.asarray(match_proposals(
+        jnp.asarray(q), jnp.asarray([True, True]),
+        high_threshold=0.7, low_threshold=0.3, allow_low_quality=True))
+    assert out[3] == 0
+    # every other anchor is background, NOT a low-quality match of gt 1
+    assert (out[np.arange(10) != 3] == BELOW_LOW_THRESHOLD).all()
