@@ -203,5 +203,9 @@ class DF2PairBatchSampler:
             yield batch
 
     def __len__(self):
+        """Batch-count estimate (exact when every entry has a partner —
+        partnerless entries are skipped at iteration time): full batches,
+        plus the trailing partial batch when drop_last=False."""
         n = -(-len(self.ds.accepted_entries) // self.num_shards)
-        return n // (self.batch_size // 2)
+        per = self.batch_size // 2
+        return n // per if self.drop_last else -(-n // per)

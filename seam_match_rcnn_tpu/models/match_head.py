@@ -60,7 +60,14 @@ class MaskedBatchNorm1d(nn.Module):
                 var = jnp.sum(((x - mean) ** 2) * w, axis=0) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-                m = self.momentum
+                # zero-weight the momentum update when NO row is valid
+                # (e.g. an image pair with no positive match slots):
+                # blending in the all-masked mean=0/var=0 would decay the
+                # eval-time running stats toward zero by `momentum` per
+                # such step.  torch BN never sees empty batches (the
+                # reference's dynamic batches always have >= 1 row).
+                m = self.momentum if valid is None else (
+                    self.momentum * (jnp.sum(valid) > 0).astype(jnp.float32))
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:

@@ -33,8 +33,7 @@ from .boxes import box_iou
 _NEG_INF = -1e10
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from .pallas_kernels import _round_up  # shared alignment helper
 
 
 def _self_suppress(conflict: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
@@ -69,8 +68,10 @@ def _greedy_kept(boxes, scores, valid, iou_threshold, tile_size):
     """Core tiled greedy pass.  Returns (kept [N_pad] bool in score order,
     order [N] the sort permutation, pad)."""
     n = boxes.shape[0]
-    t = min(tile_size, _round_up(n, 8))
-    n_pad = _round_up(n, t)
+    # clamp to >= 8: n == 0 would give t = 0 and a div-by-zero in the pad
+    # round-up (a zero-sized level segment is a legal static shape)
+    t = min(tile_size, max(_round_up(n, 8), 8))
+    n_pad = max(_round_up(n, t), t)
 
     order = jnp.argsort(-scores)  # stable; invalid sink to the end
     sboxes = boxes[order]

@@ -133,3 +133,29 @@ def test_aggregator_attention_ignores_padding():
     seq_b = seq_a.at[0, 2].set(99.0)
     agg = lambda s: mod.apply(variables, s, m, method=lambda m_, s_, k_: m_.aggregate(s_, k_))
     np.testing.assert_allclose(np.asarray(agg(seq_a)), np.asarray(agg(seq_b)), atol=1e-5)
+
+
+def test_masked_bn_freezes_stats_when_all_rows_invalid():
+    """An all-masked training batch (e.g. an image pair with zero positive
+    match slots) must NOT decay the running stats toward 0 — the momentum
+    update is zero-weighted when no row is valid."""
+    from seam_match_rcnn_tpu.models.match_head import MaskedBatchNorm1d
+
+    bn = MaskedBatchNorm1d()
+    x = jnp.asarray(np.random.RandomState(0).randn(6, 8).astype(np.float32))
+    variables = bn.init(jax.random.PRNGKey(0), x, train=True,
+                        valid=jnp.ones(6, bool))
+    # one real step moves the stats
+    _, mut = bn.apply(variables, x + 3.0, train=True,
+                      valid=jnp.ones(6, bool), mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(mut["batch_stats"]["mean"]),
+                           np.asarray(variables["batch_stats"]["mean"]))
+    # an all-masked step must leave them untouched
+    _, mut0 = bn.apply(variables, x + 3.0, train=True,
+                       valid=jnp.zeros(6, bool), mutable=["batch_stats"])
+    np.testing.assert_array_equal(
+        np.asarray(mut0["batch_stats"]["mean"]),
+        np.asarray(variables["batch_stats"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(mut0["batch_stats"]["var"]),
+        np.asarray(variables["batch_stats"]["var"]))

@@ -118,3 +118,14 @@ def test_per_level_nms_equals_offset_trick():
         off += n
     got = set(np.nonzero(np.concatenate(kept))[0].tolist())
     assert got == want
+
+
+def test_nms_zero_boxes_static_shape():
+    """A zero-sized level segment is a legal static shape: the tile size
+    clamps to 8 instead of a div-by-zero at trace time."""
+    from seam_match_rcnn_tpu.ops.nms import nms_padded
+
+    idx, valid = nms_padded(
+        jnp.zeros((0, 4), jnp.float32), jnp.zeros((0,), jnp.float32),
+        iou_threshold=0.5, max_output=4)
+    assert idx.shape == (4,) and not np.asarray(valid).any()
