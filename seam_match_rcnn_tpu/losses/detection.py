@@ -152,9 +152,13 @@ def rpn_loss(
     sel_pos = sample.is_pos
     denom = jnp.maximum(jnp.sum(sel_valid), 1)
 
-    matched_gt = gt_boxes[jnp.maximum(matches, 0)]
-    targets = box_ops.encode_boxes(matched_gt, anchors, (1.0, 1.0, 1.0, 1.0))
-    l1 = jnp.sum(smooth_l1(box_deltas[sel] - targets[sel]), axis=-1)
+    # gather the 256 sampled rows FIRST: encoding targets for all ~270k
+    # anchors (and its backward) when only the sample is read is ~1000x
+    # wasted div/log work and two full-size intermediates
+    matched_gt = gt_boxes[jnp.maximum(matches, 0)[sel]]
+    targets = box_ops.encode_boxes(matched_gt, anchors[sel],
+                                   (1.0, 1.0, 1.0, 1.0))
+    l1 = jnp.sum(smooth_l1(box_deltas[sel] - targets), axis=-1)
     loss_box = jnp.sum(jnp.where(sel_pos, l1, 0.0)) / denom
 
     logit = objectness[sel]

@@ -1,12 +1,22 @@
 """Image batching transform: GeneralizedRCNNTransform, TPU-style.
 
-torchvision resizes each image so min side -> 800 (capped so max side
-<= 1333) and pads the batch to a divisible-by-32 rectangle; shapes are
-dynamic per batch.  XLA wants static shapes, so images are placed into one
-of two fixed canvases — landscape (800, 1344) or portrait (1344, 800) —
-selected by orientation.  The per-image valid size rides along and every
+Reference semantics: torchvision ``GeneralizedRCNNTransform`` as
+instantiated by MaskRCNN with min 800 / max 1333 — the reference imports
+it wholesale (/root/reference/models/matchrcnn.py:2-3,475; resize+
+normalize+batch happen inside ``model(images)``, see SURVEY.md L1 note).
+It resizes each image so min side -> 800 (capped so max side <= 1333) and
+pads the batch to a divisible-by-32 rectangle; shapes are dynamic per
+batch.  XLA wants static shapes, so images are placed into one of two
+fixed canvases — landscape (800, 1344) or portrait (1344, 800) — selected
+by orientation.  The per-image valid size rides along and every
 downstream stage (RPN clipping, postprocess) masks against it, which
 reproduces torchvision's per-image ``image_sizes`` semantics exactly.
+
+Canvas padding is filled with ``cfg.image_mean`` (raw space) so the
+in-graph normalize maps it to EXACTLY 0 — torchvision normalizes first
+and zero-pads after, so its padding is 0 in normalized space; zero-filled
+raw padding would normalize to ~-2 and shift features within conv
+receptive fields of every right/bottom border.
 
 Resize uses cv2 INTER_LINEAR == torch's bilinear(align_corners=False,
 antialias off), matching ``GeneralizedRCNNTransform.resize``.
@@ -71,7 +81,9 @@ def batch_images(
     out = []
     for canvas, items in buckets.items():
         b = len(items)
-        pixels = np.zeros((b, canvas[0], canvas[1], 3), dtype=np.float32)
+        # mean-filled padding == 0 after normalize (see module docstring)
+        pixels = np.empty((b, canvas[0], canvas[1], 3), dtype=np.float32)
+        pixels[:] = np.asarray(cfg.image_mean, np.float32)
         sizes = np.zeros((b, 2), dtype=np.int32)
         orig = np.zeros((b, 2), dtype=np.int32)
         idxs = []
@@ -124,10 +136,12 @@ def _device_ingest(frames: jnp.ndarray, cfg: TransformConfig) -> jnp.ndarray:
             frames, (b, new_h, new_w, 3), method="linear", antialias=False
         )
     canvas = cfg.landscape_canvas if new_w >= new_h else cfg.portrait_canvas
-    return jnp.pad(
-        frames,
-        ((0, 0), (0, canvas[0] - new_h), (0, canvas[1] - new_w), (0, 0)),
+    # mean-filled padding == 0 after normalize (see module docstring)
+    full = jnp.broadcast_to(
+        jnp.asarray(cfg.image_mean, jnp.float32),
+        (b, canvas[0], canvas[1], 3),
     )
+    return jax.lax.dynamic_update_slice(full, frames, (0, 0, 0, 0))
 
 
 def device_batch_images(

@@ -51,12 +51,18 @@ def test_batch_images_buckets_by_orientation():
     assert sizes == {cfg.landscape_canvas, cfg.portrait_canvas}
     land = next(b for b in buckets if b.pixels.shape[1:3] == cfg.landscape_canvas)
     assert sorted(land.indices) == [0, 2]
-    # valid sizes recorded; padding area zero
+    # valid sizes recorded; padding filled with image_mean (== 0 after
+    # normalize, matching torchvision's normalize-then-zero-pad order)
+    from seam_match_rcnn_tpu.config import TransformConfig as _TC
+
+    mean = np.asarray(_TC().image_mean, np.float32)
     for b in buckets:
         for j in range(len(b.indices)):
             h, w = b.sizes[j]
-            assert b.pixels[j, h:, :].max() == 0
-            assert b.pixels[j, :, w:].max() == 0
+            np.testing.assert_allclose(b.pixels[j, h:, :],
+                                       np.broadcast_to(mean, b.pixels[j, h:, :].shape))
+            np.testing.assert_allclose(b.pixels[j, :, w:],
+                                       np.broadcast_to(mean, b.pixels[j, :, w:].shape))
 
 
 def test_normalize_imagenet():
@@ -128,3 +134,24 @@ def test_flip_keypoints_mirror_visible_only():
     np.testing.assert_allclose(k[0, 5], [20.0 - 4.0, 7.0, 2.0])
     np.testing.assert_allclose(k[0, 60], [20.0 - 15.0, 2.0, 1.0])
     assert (k[0, 0] == 0).all()  # invisible slot untouched
+
+
+def test_canvas_padding_normalizes_to_zero():
+    """torchvision normalizes first and zero-pads after, so reference
+    padding is 0 in NORMALIZED space; the mean-filled raw canvas reproduces
+    that exactly (zero-filled raw padding would normalize to ~-2 and shift
+    features at every right/bottom border)."""
+    from seam_match_rcnn_tpu.config import TransformConfig
+    from seam_match_rcnn_tpu.models.transform import (
+        batch_images, device_batch_images, normalize)
+
+    cfg = TransformConfig(min_size=64, max_size=96)
+    img = np.random.RandomState(0).rand(50, 64, 3).astype(np.float32)
+
+    for batcher in (batch_images, device_batch_images):
+        (b,) = batcher([img], cfg)
+        h, w = b.sizes[0]
+        normed = np.asarray(normalize(jnp.asarray(b.pixels), cfg))
+        np.testing.assert_allclose(normed[0, h:, :, :], 0.0, atol=1e-5)
+        np.testing.assert_allclose(normed[0, :, w:, :], 0.0, atol=1e-5)
+        assert np.abs(normed[0, :h, :w]).mean() > 0.1  # content not zeroed
