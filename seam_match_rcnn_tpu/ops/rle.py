@@ -39,7 +39,10 @@ RLE = Dict[str, object]  # {"size": [h, w], "counts": list[int] | bytes}
 def encode(mask: np.ndarray) -> RLE:
     """Binary [H, W] mask -> uncompressed RLE (column-major runs)."""
     h, w = mask.shape
-    flat = np.asfortranarray(mask.astype(np.uint8)).reshape(-1, order="F")
+    # binarize FIRST (like the native encoder's `data[i] ? 1 : 0`): a
+    # 0/255 uint8 mask must not break run detection or the leading-zero
+    # rule below
+    flat = np.asfortranarray(mask != 0).astype(np.uint8).reshape(-1, order="F")
     if _seamops is not None:
         # the native encoder starts from value 0, so a leading 1 already
         # yields the conventional 0-count first run
@@ -61,6 +64,9 @@ def decode(rle: RLE) -> np.ndarray:
     if _seamops is not None:
         raw = _seamops.rle_decode(list(counts), int(h), int(w))
         return np.frombuffer(raw, np.uint8).reshape((h, w), order="F").copy()
+    if sum(counts) != h * w:  # match the native path's ValueError on
+        raise ValueError(     # corrupt RLE instead of silently clipping
+            f"invalid RLE counts: sum {sum(counts)} != {h}*{w}")
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0
     val = 0
@@ -162,13 +168,26 @@ def polygons_to_crop(
 
 def mask_to_crop(mask: np.ndarray, box_xyxy: Sequence[float], size: int) -> np.ndarray:
     """Binary full-image mask -> fixed-size crop of the box (for datasets
-    that carry bitmaps rather than polygons)."""
+    that carry bitmaps rather than polygons).
+
+    The crop is BOX-relative: a box extending past the image border keeps
+    its out-of-image region as zeros at the correct position (stretching
+    only the in-image slice over the crop would misalign border
+    instances)."""
     x1, y1, x2, y2 = [int(round(v)) for v in box_xyxy]
     x2 = max(x2, x1 + 1)
     y2 = max(y2, y1 + 1)
-    sub = mask[max(y1, 0) : y2, max(x1, 0) : x2].astype(np.uint8)
-    if sub.size == 0:
+    hh, ww = mask.shape
+    sub = np.zeros((y2 - y1, x2 - x1), np.uint8)
+    iy1, iy2 = max(y1, 0), min(y2, hh)
+    ix1, ix2 = max(x1, 0), min(x2, ww)
+    if iy2 > iy1 and ix2 > ix1:
+        sub[iy1 - y1 : iy2 - y1, ix1 - x1 : ix2 - x1] = (
+            mask[iy1:iy2, ix1:ix2] != 0)
+    if not sub.any():
         return np.zeros((size, size), np.uint8)
+    if cv2 is None:
+        raise RuntimeError("cv2 unavailable for mask crop resize")
     return cv2.resize(sub, (size, size), interpolation=cv2.INTER_NEAREST)
 
 

@@ -188,3 +188,36 @@ def test_prefetcher_close_unblocks_worker():
     assert not worker.is_alive()
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_rle_encode_binarizes_255_masks():
+    """encode() must treat any nonzero as foreground (native parity): a
+    0/255 uint8 mask previously inverted the numpy-path RLE."""
+    from seam_match_rcnn_tpu.ops import rle
+
+    mask = np.zeros((4, 4), np.uint8)
+    mask[0:2, 0:2] = 255
+    r = rle.encode(mask)
+    assert rle.area(r) == 4
+    np.testing.assert_array_equal(rle.decode(r), (mask != 0).astype(np.uint8))
+
+
+def test_rle_decode_rejects_corrupt_counts():
+    from seam_match_rcnn_tpu.ops import rle
+
+    with pytest.raises(ValueError):
+        rle.decode({"size": [2, 2], "counts": [1, 10]})
+
+
+def test_mask_to_crop_border_box_alignment():
+    """A box extending past the image border keeps its out-of-image region
+    as zeros at the correct box-relative position."""
+    from seam_match_rcnn_tpu.ops.rle import mask_to_crop
+
+    mask = np.zeros((20, 20), np.uint8)
+    mask[:, :10] = 1  # left half of the IMAGE is foreground
+    # box [-10, 0, 10, 20]: its left half lies outside the image (zeros),
+    # its right half covers the image's foreground left half
+    crop = mask_to_crop(mask, (-10, 0, 10, 20), size=4)
+    np.testing.assert_array_equal(crop[:, :2], 0)
+    np.testing.assert_array_equal(crop[:, 2:], 1)
