@@ -71,6 +71,12 @@ def main(argv=None):
             variables = restore_checkpoint(args.ckpt_path)["variables"]
         else:
             variables = load_torch_checkpoint(args.ckpt_path, video=True)
+    elif args.ckpt_path and not args.synthetic:
+        # fail fast: silently evaluating random-init weights looks like a
+        # model regression and wastes the whole eval run
+        raise FileNotFoundError(
+            f"--ckpt_path {args.ckpt_path!r} does not exist (pass "
+            "--ckpt_path '' explicitly to evaluate random-init weights)")
 
     ds = MovingFashionDataset(args.test_annots, root=args.root, noise=args.noise)
     return evaluate(

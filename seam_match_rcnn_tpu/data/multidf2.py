@@ -47,11 +47,22 @@ class MultiDeepFashion2Dataset:
     def _load(self, img_id: int, key: str, tag: int) -> Dict:
         idx = self.base.idx_of_id[img_id]
         img, target, _ = self.base[idx]
-        if self.noise and tag == 0:
-            sigma = 0.25 if self.rng.random() > 0.75 else 0.05
-            img = np.clip(img + np.random.randn(*img.shape) * sigma, 0.0, 1.0).astype(np.float32)
+        if self.noise:
+            # reference noise (MultiDF2Dataset.py:157-167): sigma 0.1 with
+            # probability 0.25 else 0.0, applied to shop AND street alike,
+            # with the float->uint8 round-trip.  The field comes from a
+            # generator seeded off the per-dataset rng (the reference uses
+            # the GLOBAL np.random — unreproducible; not copied, same as
+            # data/movingfashion.py).
+            sigma = 0.1 if self.rng.random() > 0.75 else 0.0
+            gen = np.random.default_rng(self.rng.getrandbits(64))
+            if sigma:
+                img = np.clip(
+                    img + gen.standard_normal(img.shape) * sigma, 0.0, 1.0)
+            img = (np.round(np.asarray(img, np.float64) * 255.0)
+                   .astype(np.uint8).astype(np.float32) / 255.0)
         target = dict(target, i=key, tag=tag, key=key)
-        target["image"] = img
+        target["image"] = np.asarray(img, np.float32)
         return target
 
     def shop_view(self, p: int) -> Dict:
@@ -64,6 +75,17 @@ class MultiDeepFashion2Dataset:
         streets = self.base.match_map_street[key]
         img_id = streets[min(int(len(streets) * frac), len(streets) - 1)]
         return self._load(img_id, key, tag=0)
+
+    def consume_view_draws(self, p: int, tag: int):
+        """Consume exactly the rng draws shop_view/street_view would make,
+        without loading images — the mid-epoch-resume fast-forward uses
+        this so the surviving batches replay bit-identically (same
+        contract as MovingFashionDataset.consume_frame_draws)."""
+        if tag == 1:
+            self.rng.choice(self.base.match_map_shop[self.product_keys[p]])
+        if self.noise:
+            self.rng.random()
+            self.rng.getrandbits(64)
 
 
 def product_batches(
@@ -92,8 +114,13 @@ def product_batches(
     for p in order:
         fracs = sorted(rng.random() for _ in range(frames_per_product))
         if skipped < skip_batches:
-            # mid-epoch resume fast-forward: consume the rng draws so the
-            # remaining batches replay identically, but never load images
+            # mid-epoch resume fast-forward: consume BOTH the sampler rng
+            # draws (fracs above) and the dataset rng draws (shop choice,
+            # noise sigma + field seed) so the remaining batches replay
+            # bit-identically, but never load images
+            dataset.consume_view_draws(p, tag=1)
+            for _ in fracs:
+                dataset.consume_view_draws(p, tag=0)
             count += 1
             if count == n_products:
                 skipped += 1

@@ -503,5 +503,5 @@ def init_model(
     init_fn = jax.jit(
         lambda r, im, sz: model.init(r, im, sz, method=MatchRCNN.init_all)
     )
-    variables = jax.tree.map(lambda x: x, init_fn(rng, images, sizes))
+    variables = init_fn(rng, images, sizes)
     return model, variables

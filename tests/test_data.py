@@ -221,3 +221,61 @@ def test_mask_to_crop_border_box_alignment():
     crop = mask_to_crop(mask, (-10, 0, 10, 20), size=4)
     np.testing.assert_array_equal(crop[:, :2], 0)
     np.testing.assert_array_equal(crop[:, 2:], 1)
+
+
+def test_multidf2_skip_batches_replays_dataset_rng_bitexact(df2_fixture):
+    """The MultiDF2 fast-forward consumes the DATASET rng (shop choice,
+    noise sigma + field seed) too, so surviving batches' pixels replay
+    bit-identically — same contract as the MovingFashion sampler."""
+    import random
+
+    img_dir, ann = df2_fixture
+    kw = dict(n_products=1, frames_per_product=2, seed=4, epoch=0,
+              drop_last=True)
+
+    def run(skip):
+        ds = MultiDeepFashion2Dataset(ann, img_dir, noise=True,
+                                      filter_onestreet=True,
+                                      rng=random.Random(9))
+        return list(mdf2_batches(ds, skip_batches=skip, **kw))
+
+    full = run(0)
+    resumed = run(1)
+    assert len(resumed) == len(full) - 1
+    for b_full, b_res in zip(full[1:], resumed):
+        for it_full, it_res in zip(b_full, b_res):
+            np.testing.assert_array_equal(it_full["image"], it_res["image"])
+
+
+def test_multidf2_noise_reference_distribution(df2_fixture):
+    """Reference MultiDF2 noise (MultiDF2Dataset.py:157-167): sigma 0.1
+    with probability 0.25 else CLEAN (modulo the uint8 round-trip), and it
+    applies to SHOP views too — not MovingFashion's always-on street-only
+    0.25/0.05 scheme."""
+    import random
+
+    img_dir, ann = df2_fixture
+    ds = MultiDeepFashion2Dataset(ann, img_dir, noise=True,
+                                  filter_onestreet=True)
+    clean = MultiDeepFashion2Dataset(ann, img_dir, noise=False,
+                                     filter_onestreet=True)
+    key = ds.product_keys[0]
+    img_id = ds.base.match_map_shop[key][0]
+    ref = clean._load(img_id, key, tag=1)["image"]
+
+    class FixedRng(random.Random):
+        def __init__(self, sigma_draw):
+            super().__init__(0)
+            self._sigma_draw = sigma_draw
+
+        def random(self):
+            return self._sigma_draw
+
+    ds.rng = FixedRng(0.9)   # > 0.75 -> sigma 0.1 fires, SHOP view noisy
+    noisy = ds._load(img_id, key, tag=1)["image"]
+    assert not np.array_equal(noisy, ref)
+    assert np.abs(noisy - ref).max() < 0.5  # sigma 0.1, not 0.25
+
+    ds.rng = FixedRng(0.1)   # <= 0.75 -> clean (uint8 round-trip identity)
+    clean_again = ds._load(img_id, key, tag=1)["image"]
+    np.testing.assert_array_equal(clean_again, ref)

@@ -134,6 +134,10 @@ class _FakeProductDataset:
         self.loaded.append(("street", p))
         return {"kind": "street", "i": p, "frac": frac}
 
+    def consume_view_draws(self, p, tag):
+        # rng-only fast-forward surface: must never count as a load
+        pass
+
 
 @pytest.mark.parametrize("which", ["movingfashion", "multidf2"])
 @pytest.mark.parametrize("skip", [1, 3])
