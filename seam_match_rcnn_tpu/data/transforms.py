@@ -32,7 +32,9 @@ class ToArray:
             arr = arr[:, :, None].repeat(3, axis=2)
         if arr.dtype == np.uint8:
             arr = arr.astype(np.float32) / 255.0
-        return arr.astype(np.float32), target
+        # copy=False: the uint8 path above already produced a fresh float32
+        # buffer — don't duplicate the whole image again per sample
+        return arr.astype(np.float32, copy=False), target
 
 
 class RandomHorizontalFlip:

@@ -44,6 +44,10 @@ def box_iou_xywh(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """Pairwise IoU between xywh boxes, matching ``pycocotools.mask.iou`` on
     box inputs (every in-reference ``maskUtils.iou`` call passes boxes:
     /root/reference/models/match_head.py:451, /root/reference/stuffs/engine.py:278).
+
+    In-graph (jnp) variant; the host pipelines use the numpy/native twin
+    ``ops.rle.box_iou_xywh``.  Semantics live in ``box_iou`` — this is
+    only the xywh->xyxy shim.
     """
     x1 = jnp.stack(
         [boxes1[:, 0], boxes1[:, 1], boxes1[:, 0] + boxes1[:, 2], boxes1[:, 1] + boxes1[:, 3]],
@@ -114,7 +118,10 @@ def decode_boxes(
 ) -> jnp.ndarray:
     """torchvision ``BoxCoder.decode_single``.
 
-    deltas: [..., 4] (or [..., C, 4] broadcast against boxes [..., 4]).
+    deltas: [..., 4]; ``boxes`` must broadcast against ``deltas[..., 0]``
+    along the leading axes — for per-class deltas [R, C, 4] pass boxes
+    expanded to [R, 1, 4] (as models/detection.py does); passing [R, 4]
+    there would raise (or, when C == R, silently mis-broadcast).
     """
     wx, wy, ww, wh = weights
     widths = boxes[..., 2] - boxes[..., 0]

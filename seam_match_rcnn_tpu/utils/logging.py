@@ -141,5 +141,15 @@ class MetricLogger:
                 ]))
             i += 1
             end = time.time()
+        if i and (i - 1) % print_freq != 0:
+            # final-iteration line (reference prints on
+            # `i == len(iterable) - 1` too, stuffs/utils.py log_every) —
+            # otherwise the last <print_freq iterations' meter state never
+            # reaches the console
+            print(self.delimiter.join([
+                header, f"[{i - 1}" + (f"/{total}]" if total else "]"),
+                str(self), f"time: {iter_time}", f"data: {data_time}",
+                f"mem: {device_memory_mb():.0f}MB",
+            ]))
         dur = time.time() - start
         print(f"{header} Total time: {str(datetime.timedelta(seconds=int(dur)))}")
