@@ -2,10 +2,11 @@
 
 The reference never measures throughput (SURVEY.md §6); this harness times
 the SEAM VideoMatchRCNN serving forward — backbone + RPN + proposal NMS +
-box branch + class NMS + mask/match RoI branches + match & aggregator
+box branch + class NMS + the match RoI branch + match & aggregator
 descriptors — i.e. the per-frame work of ``evaluate_movingfashion``
 (PHASE A), at the reference's eval geometry (min side 800, landscape canvas
-800×1344, batch = eval chunk 11).
+800×1344, batch = eval chunk 11).  Mask heads are NOT run
+(with_masks=False), matching the eval path, which never consumes masks.
 
 Timing methodology: the whole measurement loop runs INSIDE one jit call —
 ``lax.scan`` over ITERS distinct image batches, reduced to one scalar that
@@ -89,12 +90,15 @@ def main():
     sizes = jnp.asarray([[800, 1333]] * BATCH, jnp.int32)
 
     backend, fallback = ROI_BACKEND, False
-    model, variables = build(ROI_BACKEND)
-    jbench = make_bench(model)
     try:
-        # Trace + compile explicitly so only COMPILE-time failures (Mosaic
-        # lowering rules have shifted between driver sessions — PERF.md)
-        # trigger the fallback; a runtime failure still raises.
+        # Everything through compile inside the guard: init_model's jitted
+        # init_all already traces AND compiles the Pallas kernels, so an
+        # init-time Mosaic failure must hit the same fallback.  Only
+        # COMPILE-time failures (Mosaic lowering rules have shifted between
+        # driver sessions — PERF.md) trigger it; a runtime failure after a
+        # successful compile still raises.
+        model, variables = build(ROI_BACKEND)
+        jbench = make_bench(model)
         compiled = jbench.lower(variables, all_images, sizes).compile()
     except Exception as e:
         # Insurance for the headline metric: fall back to the exact XLA

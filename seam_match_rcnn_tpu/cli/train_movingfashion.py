@@ -122,7 +122,11 @@ def main(argv=None):
             args.pretrained_path, variables, clone_match_to_aggregator=True
         )
 
-    steps_per_epoch = max(len(train_ds) // tcfg.n_shops, 1)
+    # per-PROCESS steps: the sampler shards batches over processes, so the
+    # schedule must count only this process's optimizer steps or multistep
+    # milestones fire process_count x too late under SEAM_MULTIHOST=1
+    steps_per_epoch = max(
+        len(train_ds) // (tcfg.n_shops * jax.process_count()), 1)
     schedule = multistep_warmup_schedule(
         tcfg.lr, tcfg.milestones, tcfg.gamma, steps_per_epoch,
         tcfg.warmup_iters, tcfg.warmup_factor,
@@ -200,7 +204,7 @@ def main(argv=None):
         ckpts.maybe_save(epoch, {"variables": merged,
                                  "head_state": head_state._asdict(),
                                  "epoch": epoch})
-        if epoch % tcfg.eval_freq == 0:
+        if tcfg.eval_freq > 0 and epoch % tcfg.eval_freq == 0:
             res = evaluate(
                 model, merged,
                 _eval_products(test_ds, args.frames_per_shop_test,
