@@ -36,8 +36,8 @@ def convert(image_dir: str, annos_dir: str, out_path: str,
     annotations: List[Dict] = []
     ann_id = 0
     img_files = sorted(glob(os.path.join(image_dir, "*.jpg")))
-    if limit:
-        img_files = img_files[:limit]
+    if limit is not None:  # `if limit:` would treat an explicit 0 as
+        img_files = img_files[:limit]  # "convert everything"
     for img_id, img_path in enumerate(img_files, start=1):
         stem = os.path.splitext(os.path.basename(img_path))[0]
         ann_path = os.path.join(annos_dir, stem + ".json")

@@ -52,7 +52,11 @@ def pairwise_match_scores(
     y = y.astype(jnp.float32)
     v = (w[1] - w[0]).astype(jnp.float32)
     c0 = (b[1] - b[0]).astype(jnp.float32)
-    a = (x * x) @ v
-    g = (y * y) @ v
+    # precision=_P on ALL three terms: a_i + g_j - 2*cross cancels
+    # catastrophically for near-duplicate descriptors, so bf16-truncated
+    # a/g would corrupt the probabilities by the ~1e-2 the module header
+    # warns about (the matvecs are cheap; only the cross matmul is big)
+    a = jnp.matmul(x * x, v[:, None], precision=_P)[:, 0]
+    g = jnp.matmul(y * y, v[:, None], precision=_P)[:, 0]
     cross = jnp.matmul(x * v, y.T, precision=_P)
     return jax.nn.sigmoid(a[:, None] + g[None, :] - 2.0 * cross + c0)
