@@ -26,16 +26,26 @@ def save_checkpoint(path: str, payload: Dict[str, Any]):
 
 
 def restore_checkpoint(path: str, target: Any = None) -> Dict[str, Any]:
-    """``target``: optional pytree with the desired STRUCTURE (e.g. a live
+    """``target``: optional pytree with the desired STRUCTURE (e.g. a
     TrainState._asdict()).  Without it orbax returns raw nested dicts/lists,
     which breaks consumers expecting typed nodes — optax opt_states are
-    NamedTuples whose update path uses attribute access, so the --start_ckpt
-    resume flow must pass the structure it is restoring into."""
+    NamedTuples whose update path uses attribute access.  (The CLI
+    ``--start_ckpt`` resume flow goes through
+    ``restore_training_checkpoint``, which re-imposes types by name.)"""
     ckptr = ocp.PyTreeCheckpointer()
     path = os.path.abspath(path)
     if target is None:
         return ckptr.restore(path)
-    restored = ckptr.restore(path, item=jax.tree.map(np.asarray, target))
+
+    def _skeleton(x):
+        # structure/dtype metadata only — np.asarray on a live device
+        # TrainState would pull every parameter to host (~1 MB/s here,
+        # CLAUDE.md) just to describe the tree
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return np.empty(x.shape, x.dtype)
+        return x
+
+    restored = ckptr.restore(path, item=jax.tree.map(_skeleton, target))
     if jax.tree.structure(restored) == jax.tree.structure(target):
         return restored
     # Orbax returned plain containers (dicts/lists) where the target holds
@@ -70,6 +80,15 @@ def _reimpose_types(target: Any, restored: Any) -> Any:
                 f"expects a dict with keys {sorted(target)}")
         return {k: _reimpose_types(v, restored[k]) for k, v in target.items()}
     if isinstance(target, (list, tuple)):
+        if isinstance(restored, dict):
+            # orbax's plain-container form for sequences is {'0': ..,
+            # '1': ..}; zipping the dict directly would iterate its KEYS
+            # and silently replace every leaf with a string
+            restored = [restored[str(i)] for i in range(len(target))]
+        if not isinstance(restored, (list, tuple)):
+            raise ValueError(
+                f"checkpoint node {type(restored).__name__} where target "
+                f"expects a sequence of {len(target)}")
         if len(restored) != len(target):
             raise ValueError(
                 f"checkpoint node has {len(restored)} children but target "
@@ -121,7 +140,8 @@ class CheckpointManager:
         os.makedirs(directory, exist_ok=True)
 
     def maybe_save(self, epoch: int, payload: Dict[str, Any], final: bool = False):
-        if final or (epoch % self.save_epochs == 0):
+        # save_epochs 0 = periodic saves off (only `final`), not a crash
+        if final or (self.save_epochs > 0 and epoch % self.save_epochs == 0):
             name = f"epoch{epoch:03d}" if not final else "final"
             save_checkpoint(os.path.join(self.directory, name), payload)
             self._clear_mid()

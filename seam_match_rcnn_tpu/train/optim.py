@@ -24,12 +24,19 @@ def multistep_warmup_schedule(
 ):
     """step -> lr.  Warmup applies within epoch 0 only, like
     ``warmup_lr_scheduler`` driven from the epoch loop."""
-    warmup_iters = max(min(warmup_iters, steps_per_epoch - 1), 1)
+    # clamp like the reference (min(1000, steps-1)); when that is <= 0
+    # the reference lambda short-circuits `x >= warmup_iters -> 1`
+    # (/root/reference/stuffs/utils.py:442-449), i.e. NO warmup for a
+    # single-step epoch — flooring to 1 here would run that one step at
+    # warmup_factor*lr (1000x too small)
+    warmup_iters = min(warmup_iters, steps_per_epoch - 1)
     milestones_arr = jnp.asarray(list(milestones), dtype=jnp.int32)
 
     def schedule(step):
         epoch = step // steps_per_epoch
         decay = gamma ** jnp.sum(epoch >= milestones_arr)
+        if warmup_iters <= 0:
+            return base_lr * decay
         alpha = jnp.clip(step / warmup_iters, 0.0, 1.0)
         warm = jnp.where(
             epoch < 1, warmup_factor * (1 - alpha) + alpha, 1.0

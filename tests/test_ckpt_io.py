@@ -167,3 +167,12 @@ def test_latest_prefers_newer_epoch_over_stale_final(tmp_path):
     # and mid, when present, is the newest of all
     mgr.save_mid({"x": 3})
     assert mgr.latest() == str(tmp_path / "mid")
+
+
+def test_maybe_save_zero_save_epochs(tmp_path):
+    """save_epochs 0 disables periodic saves (final only), not a crash."""
+    mgr = CheckpointManager(str(tmp_path), save_epochs=0)
+    mgr.maybe_save(0, {"x": 1})
+    assert mgr.latest() is None
+    mgr.maybe_save(3, {"x": 2}, final=True)
+    assert mgr.latest().endswith("final")

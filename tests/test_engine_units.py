@@ -124,3 +124,20 @@ def test_best_iou_rows_mdf2_reindexes_after_exclusion():
     assert sel["row_img"][r] == 3 and sel["row_det"][r] == 0
     assert sel["row_img"][sel["shop_row"][1]] == 2
     assert sel["row_det"][sel["shop_row"][1]] == 1
+
+
+def test_warmup_schedule_single_step_epoch_uses_full_lr():
+    """steps_per_epoch == 1: the reference short-circuits to NO warmup
+    (warmup_iters = min(1000, 0) = 0, stuffs/utils.py:442-449) — the one
+    step of epoch 0 must train at full lr, not warmup_factor*lr."""
+    from seam_match_rcnn_tpu.train.optim import multistep_warmup_schedule
+
+    sched = multistep_warmup_schedule(
+        0.02, (6, 9), 0.1, steps_per_epoch=1, warmup_iters=1000,
+        warmup_factor=1e-3)
+    np.testing.assert_allclose(float(sched(0)), 0.02, rtol=1e-6)
+    # and with multiple steps warmup still applies at step 0
+    sched2 = multistep_warmup_schedule(
+        0.02, (6, 9), 0.1, steps_per_epoch=100, warmup_iters=1000,
+        warmup_factor=1e-3)
+    assert float(sched2(0)) < 0.001
