@@ -31,10 +31,11 @@ ASSUMED_PYTORCH_GPU_FPS = 15.0
 BATCH = 11  # reference eval chunk (evaluate_movingfashion.py:30)
 CANVAS = (800, 1344)
 ITERS = 8
-# RoIAlign backend: the patch-DMA Pallas kernel measures ~2x the gather
-# path end-to-end on the dev chip (PERF.md); semantics equal for typical
-# boxes.  Override with SEAM_BENCH_ROI_BACKEND=xla for the exact path.
-ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas")
+# RoIAlign backend: the tile-resident Pallas kernel (serving default) —
+# same-session A/B on the dev chip: 68.2 fps vs 65.7 patch-DMA ("pallas")
+# vs ~15 exact gather (PERF.md); window semantics equal for typical boxes.
+# Override with SEAM_BENCH_ROI_BACKEND=pallas|xla for the other paths.
+ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas_resident")
 
 
 def main():

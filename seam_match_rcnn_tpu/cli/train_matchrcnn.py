@@ -82,7 +82,13 @@ def main(argv=None):
 
     initialize_distributed()  # no-op unless SEAM_MULTIHOST=1
     args = build_argparser().parse_args(argv)
-    cfg = ModelConfig() if args.exact_roi_align else serving_model_config()
+    # Phase-1 trains THROUGH RoIAlign, so it pins the differentiable
+    # patch-DMA backend (custom_vjp exact adjoint); the serving default
+    # pallas_resident is inference-only (no vjp).
+    from ..config import RoIHeadsConfig
+
+    cfg = (ModelConfig() if args.exact_roi_align else serving_model_config(
+        roi_heads=RoIHeadsConfig(roi_align_backend="pallas")))
     if args.synthetic:
         import dataclasses
         import tempfile

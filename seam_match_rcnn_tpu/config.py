@@ -138,14 +138,18 @@ class ModelConfig:
 
 
 def serving_model_config(**overrides) -> "ModelConfig":
-    """Inference profile: parity hyperparameters with the patch-DMA Pallas
-    RoIAlign backend — ~3.8× serving throughput over the exact gather path
-    on the dev chip (PERF.md).  Semantics equal for typical boxes (the
-    level mapper bounds footprints within the patch); extreme-aspect
-    outliers clamp at the patch edge.  Use ModelConfig() for the exact
-    (and differentiable) path."""
+    """Inference profile: parity hyperparameters with the tile-resident
+    Pallas RoIAlign backend — same-session bench A/B on the dev chip:
+    68.2 fps vs 65.7 patch-DMA vs ~15 exact-gather (PERF.md), and ~9×
+    fewer RoIAlign HBM bytes (the lever that grows on production v5e
+    where bandwidth binds).  Window semantics identical to the patch-DMA
+    backend (40×48 footprint contract; extreme-aspect outliers clamp at
+    the patch edge; compiled e2e parity in tools/drive_resident_e2e.py).
+    Inference-only — phase-1 training pins roi_align_backend="pallas"
+    (differentiable patch-DMA forward + exact adjoint) instead.  Use
+    ModelConfig() for the exact path."""
     kw = dict(
-        roi_heads=RoIHeadsConfig(roi_align_backend="pallas"),
+        roi_heads=RoIHeadsConfig(roi_align_backend="pallas_resident"),
         match=MatchHeadConfig(nlb_backend="pallas"),
     )
     kw.update(overrides)

@@ -2,7 +2,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax spells it experimental
+    from jax.experimental.shard_map import shard_map
 
 from seam_match_rcnn_tpu.parallel import collectives as C
 from seam_match_rcnn_tpu.parallel.mesh import make_mesh
@@ -24,10 +27,11 @@ def test_reduce_dict_pmean_over_mesh():
 
 def test_all_gather_over_mesh():
     mesh = make_mesh(data=8)
-    f = shard_map(
-        lambda x: C.all_gather(x, "data"), mesh=mesh,
-        in_specs=P("data"), out_specs=P(None), check_rep=False,
-    )
+    kw = dict(mesh=mesh, in_specs=P("data"), out_specs=P(None))
+    try:  # jax>=0.8 spells the varying-ness checker check_vma
+        f = shard_map(lambda x: C.all_gather(x, "data"), check_vma=False, **kw)
+    except TypeError:
+        f = shard_map(lambda x: C.all_gather(x, "data"), check_rep=False, **kw)
     x = jnp.arange(8, dtype=jnp.float32)
     out = np.asarray(f(x))
     assert out.shape == (8, 1)

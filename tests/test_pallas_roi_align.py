@@ -134,8 +134,10 @@ def test_serving_config_selects_pallas_backend():
     from seam_match_rcnn_tpu.config import (
         ModelConfig, fast_eval_model_config, serving_model_config,
     )
-    assert serving_model_config().roi_heads.roi_align_backend == "pallas"
-    assert fast_eval_model_config().roi_heads.roi_align_backend == "pallas"
+    assert (serving_model_config().roi_heads.roi_align_backend
+            == "pallas_resident")
+    assert (fast_eval_model_config().roi_heads.roi_align_backend
+            == "pallas_resident")
     assert ModelConfig().roi_heads.roi_align_backend == "xla"
     assert serving_model_config().rpn.post_nms_top_n_test == 4000  # parity
     assert fast_eval_model_config().rpn.post_nms_top_n_test == 1000
