@@ -80,10 +80,10 @@ def tile_sort_keys(lvl, y0i, x0p, img_idx, level0_shape, wide=True):
     return key, ty, tx
 
 
-def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
-                trow0_ref, tcol0_ref, nt_ref, geom_ref,
+def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, geom_ref,
                 f0, f1, f2, f3, out_ref, tile, sems, *,
-                output_size, sampling_ratio, n_groups, c, highest, tile_w):
+                output_size, sampling_ratio, n_groups, c, highest, tile_w,
+                col_stride):
     i = pl.program_id(0)
     o = output_size
     refs = (f0, f1, f2, f3)
@@ -91,13 +91,17 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, timg_ref, tlvl_ref,
     def start(rk):
         """Start the DMA of the tile at (clipped) local rank rk into buffer
         rk % 2.  Ranks past the last tile re-fetch the last tile (harmless:
-        its buffer is never read; the final wait below retires it)."""
+        its buffer is never read; the final wait below retires it).  The
+        per-rank tile source is ONE packed int32 (tx | row0/8 | lvl | img —
+        see ``_pack_tile``): gathers on this TPU are element-throughput-
+        bound, so the host prep builds/gathers one table instead of four."""
         rr = jnp.minimum(rk, nt_ref[0] - 1)
         slot = jax.lax.rem(rk, 2)
-        img = timg_ref[rr]
-        row0 = pl.multiple_of(trow0_ref[rr], 8)
-        col0 = pl.multiple_of(tcol0_ref[rr] * c, 128)
-        lv = tlvl_ref[rr]
+        p = ptile_ref[rr]
+        img = p >> 15
+        row0 = pl.multiple_of(((p >> 4) & 511) * 8, 8)
+        col0 = pl.multiple_of((p & 15) * (col_stride * c), 128)
+        lv = (p >> 13) & 3
         for lvv, f in enumerate(refs):
             @pl.when(lv == lvv)
             def _(f=f):
@@ -247,19 +251,53 @@ def pallas_roi_align_resident(
     tile_w = TILE_W if wide else TILE_W_F32
     col_stride = COL_STRIDE if wide else COL_STRIDE_F32
 
-    # Padding: 1 leading cell (torchvision -1 border sample), plus enough
-    # trailing rows/cols that the LAST tile of the stride grid stays in
-    # bounds: max tile end = stride·floor(dim/stride) + tile ≤ dim + tile.
+    # Padding: 1 leading cell (torchvision -1 border sample), plus exactly
+    # enough trailing rows/cols that the LAST tile of the stride grid stays
+    # in bounds: max tile start is stride·floor(dim/stride) (window starts
+    # y0i ≤ H, x0p ≤ W from _prep_scalars' clip), so the needed end is
+    # stride·floor(dim/stride) + tile.  (A full extra tile — the previous
+    # padding — re-copies ~12% more HBM bytes for nothing.)
     padded = [
-        jnp.pad(f, ((0, 0), (1, TILE_H), (1, tile_w), (0, cpad)))
-        for f in features
+        jnp.pad(f, ((0, 0),
+                    (1, (h // ROW_STRIDE) * ROW_STRIDE + TILE_H - (h + 1)),
+                    (1, (w // col_stride) * col_stride + tile_w - (w + 1)),
+                    (0, cpad)))
+        for f, (h, w) in zip(features, level_shapes)
     ]
     f2d = [p.reshape(b, p.shape[1], p.shape[2] * c128) for p in padded]
 
-    flat_rois = rois.reshape(b * r, 4)
+    n = b * r
+    flat_rois = rois.reshape(n, 4)
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-    lvl, y0i, x0p, _nrows, fgeom = _prep_scalars(
+    # Light pre-sort pass: only the tile KEY is needed before the sort.
+    # Everything per-roi is recomputed from the SORTED rois afterwards —
+    # gathers on this TPU are element-throughput-bound (measured ~4 ms /
+    # 44k rois for the previous 7-gather pipeline, tools/exp_sort_pack.py),
+    # so the only gather kept is the [n, 4] roi rows themselves.
+    lvl, y0i, x0p, _nrows, _fg = _prep_scalars(
         flat_rois, level_shapes, spatial_scales, output_size
+    )
+    key, _ty, _tx = tile_sort_keys(lvl, y0i, x0p, img_idx, level_shapes[0],
+                                   wide=wide)
+    # order + sorted keys in ONE single-array sort pass when (key, index)
+    # packs into int32; key < b·4·maxty·maxtx by construction.  Ties break
+    # by index == stable argsort.
+    idx_bits = max(1, (n - 1).bit_length())
+    maxty = level_shapes[0][0] // ROW_STRIDE + 1
+    maxtx = level_shapes[0][1] // col_stride + 1
+    max_packed = ((b * 4 * maxty * maxtx - 1) << idx_bits) | (n - 1)
+    if max_packed < 2**31:
+        srt = jnp.sort((key << idx_bits) | jnp.arange(n, dtype=jnp.int32))
+        order = (srt & ((1 << idx_bits) - 1)).astype(jnp.int32)
+        key_s = (srt >> idx_bits).astype(jnp.int32)
+    else:
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        key_s = key[order]
+
+    rois_s = flat_rois[order]
+    img_s = order // r                      # flat index = img·r + roi
+    lvl_s, y0i_s, x0p_s, _nrows, fgeom = _prep_scalars(
+        rois_s, level_shapes, spatial_scales, output_size
     )
     # slice origin = floor8(y0i): shift the row geometry by the residual.
     # The row window is 8 rows wider than the production patch (WIN_H=48 vs
@@ -268,38 +306,31 @@ def pallas_roi_align_resident(
     # kernel (so footprint_clamp_mask / apply_exact_fixup transfer
     # unchanged); that per-roi dynamic clamp bound (dy + PATCH - 1) rides in
     # geometry column 8 and feeds _interp_matrix's clamp_last.
-    y0a = (y0i // 8) * 8
-    dy = (y0i - y0a).astype(jnp.float32)
+    y0a = (y0i_s // 8) * 8
+    dy = (y0i_s - y0a).astype(jnp.float32)
     fgeom = fgeom.at[:, 0].add(dy)
     fgeom = fgeom.at[:, 4].add(dy)
     fgeom = fgeom.at[:, 5].add(dy)
-    fgeom = jnp.concatenate(
+    geom_s = jnp.concatenate(
         [fgeom, (dy + (PATCH - 1.0))[:, None],
          jnp.zeros((fgeom.shape[0], 7), jnp.float32)], axis=1)
 
-    key, ty, tx = tile_sort_keys(lvl, y0i, x0p, img_idx, level_shapes[0],
-                                 wide=wide)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    _key2, ty_s, tx_s = tile_sort_keys(lvl_s, y0i_s, x0p_s, img_s,
+                                       level_shapes[0], wide=wide)
+    trow = y0a - ty_s * ROW_STRIDE                 # ∈ {0, 8, 16, 24}
+    tcol = x0p_s - tx_s * col_stride               # 8-aligned, < col_stride
+    # ONE packed per-rank tile-source table (img | lvl | row0/8 | tx) —
+    # unpacked by the kernel's start(); bit budget asserted static below.
+    assert maxtx <= 16 and maxty * ROW_STRIDE // 8 < 512 and b < 2**16
+    ptile = ((((img_s << 2) | lvl_s) << 9)
+             | ((ty_s * ROW_STRIDE) // 8)) << 4 | tx_s
 
-    key_s = key[order]
-    geom_s = fgeom[order]
-    trow = (y0a - ty * ROW_STRIDE)[order]          # ∈ {0, 8, 16, 24}
-    tcol = (x0p - tx * col_stride)[order]          # 8-aligned, < col_stride
-    timg_s = img_idx[order]
-    tlvl_s = lvl[order]
-    trow0_s = (ty * ROW_STRIDE)[order]
-    tcol0_s = (tx * col_stride)[order]
-
-    n = b * r
     chg = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]])
     rank = jnp.cumsum(chg.astype(jnp.int32)) - 1   # dense 0-based tile rank
     n_tiles = rank[-1] + 1
-    # per-rank tile source coords (duplicate scatters write equal values)
-    timg_rk = jnp.zeros((n,), jnp.int32).at[rank].set(timg_s)
-    tlvl_rk = jnp.zeros((n,), jnp.int32).at[rank].set(tlvl_s)
-    trow0_rk = jnp.zeros((n,), jnp.int32).at[rank].set(trow0_s)
-    tcol0_rk = jnp.zeros((n,), jnp.int32).at[rank].set(tcol0_s)
+    # per-rank tile source (duplicate scatters write equal values)
+    ptile_rk = jnp.zeros((n,), jnp.int32).at[rank].set(ptile)
 
     pad = (-n) % roi_chunk
     if pad:
@@ -315,10 +346,7 @@ def pallas_roi_align_resident(
     rank_local = rank_c - base[:, None]
     ridx = jnp.clip(base[:, None] + jnp.arange(roi_chunk)[None], 0,
                     n_tiles - 1)
-    timg_c = timg_rk[ridx]
-    tlvl_c = tlvl_rk[ridx]
-    trow0_c = trow0_rk[ridx]
-    tcol0_c = tcol0_rk[ridx]
+    ptile_c = ptile_rk[ridx]
     ntl = (rank_c[:, -1] - base + 1).reshape(nc, 1)
 
     n_groups = roi_chunk // MINI
@@ -329,9 +357,10 @@ def pallas_roi_align_resident(
     kernel = functools.partial(
         _res_kernel, output_size=output_size, sampling_ratio=sampling_ratio,
         n_groups=n_groups, c=c128, highest=highest, tile_w=tile_w,
+        col_stride=col_stride,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=5,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((8, 16), lambda i, *_: (i, 0),
@@ -357,13 +386,12 @@ def pallas_roi_align_resident(
     chunk = lambda a: a.reshape((nc, roi_chunk) + a.shape[1:])
 
     def body(args):
-        rk, tr, tc, ti, tl, tr0, tc0, nt, geom = args
-        return call(rk, tr, tc, ti, tl, tr0, tc0, nt, geom, *f2d)
+        rk, tr, tc, pt, nt, geom = args
+        return call(rk, tr, tc, pt, nt, geom, *f2d)
 
     outs = jax.lax.map(
         body,
-        (rank_local, chunk(trow), chunk(tcol), timg_c, tlvl_c, trow0_c,
-         tcol0_c, ntl, geom_c),
+        (rank_local, chunk(trow), chunk(tcol), ptile_c, ntl, geom_c),
     )
     out = outs.reshape(npad, output_size, output_size, c128)[:n]
     if cpad:
