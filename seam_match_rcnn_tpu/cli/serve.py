@@ -55,6 +55,15 @@ def build_argparser():
                    help="root for paths inside --build_gallery json")
     p.add_argument("--query", type=str, default=None,
                    help="video file, image file, or directory of frames")
+    p.add_argument("--detect", type=str, default=None,
+                   help="one-shot detection: image/video/frame-dir -> "
+                        "per-frame boxes + full-image masks (COCO "
+                        "column-major RLE at 0.5) as JSON — the "
+                        "reference's postprocessed eval detector output "
+                        "as a service (no gallery needed)")
+    p.add_argument("--no_masks", action="store_true",
+                   help="--detect / /v1/detect without mask heads (boxes "
+                        "and labels only; faster)")
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--n_frames", type=int, default=10,
                    help="frames decoded per query video (uniform fractions)")
@@ -107,6 +116,32 @@ def result_json(result: RetrievalResult) -> dict:
     }
 
 
+def detections_json(outs, score_threshold: float = 0.0) -> dict:
+    """Runner outputs -> JSON-safe detections.  Full-image masks ship as
+    COCO column-major uncompressed RLE of (prob > 0.5) — compact and
+    decodable by ops.rle.decode (or pycocotools)."""
+    from ..ops import rle as rle_mod
+
+    frames = []
+    for o in outs:
+        keep = np.nonzero(o["valid"] & (o["scores"] >= score_threshold))[0]
+        fr = {
+            "boxes": [[float(v) for v in o["boxes"][i]] for i in keep],
+            "scores": [float(o["scores"][i]) for i in keep],
+            "labels": [int(o["labels"][i]) for i in keep],
+        }
+        if "masks" in o:
+            fr["masks_rle"] = [
+                {"size": r["size"],
+                 "counts": [int(c) for c in r["counts"]]}
+                for r in (rle_mod.encode(np.asarray(o["masks"][i]) > 0.5)
+                          for i in keep)
+            ]
+            fr["mask_threshold"] = 0.5
+        frames.append(fr)
+    return {"frames": frames}
+
+
 def build_gallery_from_json(retr: SeamRetrieval, annots: str,
                             root: str) -> Gallery:
     from ..data.movingfashion import MovingFashionDataset
@@ -118,7 +153,7 @@ def build_gallery_from_json(retr: SeamRetrieval, annots: str,
 
 def make_http_server(retr: SeamRetrieval, gallery: Gallery, host: str,
                      port: int, n_frames_default: int = 10,
-                     media_root: str = None):
+                     media_root: str = None, with_masks: bool = True):
     """JSON API over http.server (single-threaded on purpose: queries
     serialize on the one device anyway).  Returns the server; caller runs
     serve_forever().
@@ -153,15 +188,17 @@ def make_http_server(retr: SeamRetrieval, gallery: Gallery, host: str,
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/v1/query":
+            if self.path not in ("/v1/query", "/v1/detect"):
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                path = req.get("video") or req.get("frames_dir")
+                path = (req.get("video") or req.get("frames_dir")
+                        or req.get("image"))
                 if not path:
-                    raise ValueError("body needs 'video' or 'frames_dir'")
+                    raise ValueError(
+                        "body needs 'video', 'frames_dir' or 'image'")
                 if media_root is not None:
                     root = os.path.realpath(media_root)
                     rp = os.path.realpath(
@@ -172,9 +209,14 @@ def make_http_server(retr: SeamRetrieval, gallery: Gallery, host: str,
                     path = rp
                 frames = load_query_frames(
                     path, int(req.get("n_frames", n_frames_default)))
-                result = retr.retrieve(frames, gallery,
-                                       k=int(req.get("topk", 5)))
-                self._reply(200, result_json(result))
+                if self.path == "/v1/detect":
+                    outs = retr.detect(frames, with_masks=with_masks)
+                    self._reply(200, detections_json(
+                        outs, float(req.get("score_threshold", 0.0))))
+                else:
+                    result = retr.retrieve(frames, gallery,
+                                           k=int(req.get("topk", 5)))
+                    self._reply(200, result_json(result))
             except Exception as e:  # served errors must not kill the process
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -214,6 +256,14 @@ def main(argv=None):
         retr = SeamRetrieval(model, variables, cfg=ecfg, chunk=args.chunk,
                              ingest="device" if args.device_ingest else "host")
 
+    if args.detect:
+        outs = retr.detect(
+            load_query_frames(args.detect, args.n_frames),
+            with_masks=not args.no_masks)
+        payload = detections_json(outs, args.score_threshold)
+        print(json.dumps(payload))
+        return payload
+
     gallery: Optional[Gallery] = None
     if args.build_gallery:
         gallery = build_gallery_from_json(retr, args.build_gallery, args.root)
@@ -232,7 +282,8 @@ def main(argv=None):
     if args.http is not None:
         server = make_http_server(retr, gallery, args.http_host, args.http,
                                   n_frames_default=args.n_frames,
-                                  media_root=args.media_root)
+                                  media_root=args.media_root,
+                                  with_masks=not args.no_masks)
         print(f"serving on http://{args.http_host}:{args.http}  "
               f"(gallery: {len(gallery.keys)} products)")
         try:

@@ -25,7 +25,7 @@ from ..ckpt.io import (CheckpointManager, resolve_auto_resume,
                        restore_training_checkpoint)
 from ..models.matchrcnn import init_model
 from ..train.engine import train_one_epoch_matchrcnn
-from ..train.optim import multistep_warmup_schedule, sgd
+from ..train.optim import backbone_frozen_mask, multistep_warmup_schedule, sgd
 from ..train.steps import TrainState, create_train_state, make_phase1_grad_apply
 from ..utils.logging import ScalarWriter
 
@@ -68,6 +68,12 @@ def build_argparser():
                         "DeepFashion2 fixture at reduced geometry — "
                         "dataset-free end-to-end smoke run of the phase-1 "
                         "pipeline (sampler, engine, jitted step, ckpt)")
+    p.add_argument("--train_full_backbone", action="store_true",
+                   help="also train the backbone stem (conv1+bn1) and layer1 "
+                        "— the reference's torchvision backbone freezes them "
+                        "(trainable_layers=3 default) so parity keeps them "
+                        "frozen; enable only for from-scratch experiments "
+                        "(beyond-reference)")
     p.add_argument("--exact_roi_align", action="store_true",
                    help="use the exact XLA RoIAlign forward instead of the "
                         "Pallas kernel (the Pallas path is differentiable: "
@@ -158,8 +164,12 @@ def main(argv=None):
         tcfg.lr, tcfg.milestones, tcfg.gamma, steps_per_epoch,
         tcfg.warmup_iters, tcfg.warmup_factor,
     )
+    # Parity: freeze stem+layer1 and all FrozenBN affines, exactly the params
+    # the reference optimizer never sees (requires_grad filter over the
+    # torchvision trainable_layers=3 backbone, train_matchrcnn.py:70)
+    mask = None if args.train_full_backbone else backbone_frozen_mask
     tx = sgd(schedule, tcfg.momentum, tcfg.weight_decay,
-             clip_grad_norm=tcfg.clip_grad_norm)
+             clip_grad_norm=tcfg.clip_grad_norm, trainable_mask=mask)
     state = create_train_state(variables, tx)
     rng = jax.random.PRNGKey(tcfg.seed)
     start_ep = 0

@@ -20,6 +20,7 @@ import numpy as np
 from ..models.matchrcnn import MatchRCNN
 from ..models.transform import (batch_images, device_batch_images,
                                 resize_boxes_back)
+from ..ops.masks import paste_masks
 
 
 def _chunk_plan(n: int, chunk: int, fixed: bool = False):
@@ -114,6 +115,7 @@ class InferenceRunner:
         with_aggr_features: bool = True,
         mesh=None,
         ingest: str = "host",
+        paste_full_masks: bool = True,
     ):
         """``mesh``: optional jax Mesh — the image chunk is sharded over its
         'data' axis (multi-chip serving: frames are embarrassingly parallel;
@@ -123,11 +125,20 @@ class InferenceRunner:
         path); "device" uploads raw frames and runs the bilinear resize +
         canvas placement fused on the TPU (models/transform.device_batch_
         images — one compiled program per source geometry; host threads only
-        decode)."""
+        decode).
+
+        ``paste_full_masks``: with ``with_masks=True``, paste each 28x28
+        canvas-space mask into the ORIGINAL image frame — [D, H_orig,
+        W_orig] float probabilities — exactly what torchvision
+        ``GeneralizedRCNN.postprocess`` does to the reference's eval
+        outputs (paste_masks_in_image over the resized-back boxes; masks
+        attached at /root/reference/models/video_matchrcnn.py:292).  False
+        keeps the raw [D, 28, 28] box-space probs."""
         self.model = model
         self.variables = variables
         self.chunk = chunk
         self.with_masks = with_masks
+        self.paste_full_masks = paste_full_masks
         self.with_roi = with_roi_features
         self.with_aggr = with_aggr_features
         self.with_match = with_match
@@ -208,6 +219,14 @@ class InferenceRunner:
                         r["boxes"], tuple(bucket.sizes[s + j]),
                         tuple(bucket.orig_sizes[s + j]),
                     )
+                    if self.paste_full_masks and "masks" in r:
+                        # torchvision postprocess order: boxes back to
+                        # original coords FIRST, then paste at original size
+                        oh, ow = map(int, bucket.orig_sizes[s + j])
+                        r["masks"] = np.asarray(paste_masks(
+                            jnp.asarray(r["masks"]),
+                            jnp.asarray(r["boxes"], dtype=jnp.float32),
+                            oh, ow))
                     results[gidx] = r
                 order.extend(bucket.indices[s:e])
         device_out = {}

@@ -93,8 +93,10 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, geom_ref,
         rk % 2.  Ranks past the last tile re-fetch the last tile (harmless:
         its buffer is never read; the final wait below retires it).  The
         per-rank tile source is ONE packed int32 (tx | row0/8 | lvl | img —
-        see ``_pack_tile``): gathers on this TPU are element-throughput-
-        bound, so the host prep builds/gathers one table instead of four."""
+        packed inline in the trace-time prep below, search "packed tile
+        table"; the bit layout here must mirror that site): gathers on this
+        TPU are element-throughput-bound, so the host prep builds/gathers
+        one table instead of four."""
         rr = jnp.minimum(rk, nt_ref[0] - 1)
         slot = jax.lax.rem(rk, 2)
         p = ptile_ref[rr]
@@ -320,8 +322,17 @@ def pallas_roi_align_resident(
     trow = y0a - ty_s * ROW_STRIDE                 # ∈ {0, 8, 16, 24}
     tcol = x0p_s - tx_s * col_stride               # 8-aligned, < col_stride
     # ONE packed per-rank tile-source table (img | lvl | row0/8 | tx) —
-    # unpacked by the kernel's start(); bit budget asserted static below.
-    assert maxtx <= 16 and maxty * ROW_STRIDE // 8 < 512 and b < 2**16
+    # unpacked by the kernel's start().  The bit budget (4+9+2+16) is
+    # checked loudly: a bare assert would vanish under `python -O`, turning
+    # an overflow into silent DMA-source corruption (ADVICE r2).
+    if not (maxtx <= 16 and maxty * ROW_STRIDE // 8 < 512 and b < 2 ** 16):
+        raise ValueError(
+            f"packed tile table overflow: level-0 shape {level_shapes[0]} "
+            f"(maxtx={maxtx} > 16 or maxty*{ROW_STRIDE}/8="
+            f"{maxty * ROW_STRIDE // 8} >= 512) or batch {b} >= 65536 — "
+            "this geometry exceeds the resident kernel's int32 tile "
+            "encoding; use roi_align_backend='pallas' (patch-DMA) or 'xla' "
+            "for it")
     ptile = ((((img_s << 2) | lvl_s) << 9)
              | ((ty_s * ROW_STRIDE) // 8)) << 4 | tx_s
 

@@ -147,6 +147,34 @@ class SeamRetrieval:
             variables = load_torch_checkpoint(path, video=True)
         return cls(model, variables, **kw)
 
+    def detect(self, images: Sequence[np.ndarray], with_masks: bool = True
+               ) -> List[Dict[str, np.ndarray]]:
+        """Per-image garment detection with FULL-IMAGE masks.
+
+        Returns one dict per image: boxes [D,4] xyxy in original image
+        coords, scores/labels/valid [D], and (``with_masks``) masks
+        [D, H_orig, W_orig] float probabilities — the reference's eval
+        detector output after torchvision ``GeneralizedRCNN.postprocess``
+        (masks attached at /root/reference/models/video_matchrcnn.py:292,
+        pasted by paste_masks_in_image).  Rows with ``valid`` False or
+        scores below cfg.score_threshold are padding — filter them.
+
+        The masks-enabled runner is built lazily and cached (its jitted
+        forward differs from the retrieval runner's)."""
+        key = ("detect", with_masks)
+        runner = self._detect_runners.get(key) if hasattr(
+            self, "_detect_runners") else None
+        if runner is None:
+            if not hasattr(self, "_detect_runners"):
+                self._detect_runners = {}
+            runner = InferenceRunner(
+                self.model, self.variables, chunk=self.runner.chunk,
+                mesh=self.runner.mesh, ingest=self.runner.ingest,
+                with_masks=with_masks, with_match=False,
+                with_aggr_features=False)
+            self._detect_runners[key] = runner
+        return runner(list(images))
+
     def _best_box(self, out, by_area=True):
         keep = np.nonzero((out["scores"] >= self.cfg.score_threshold) & out["valid"])[0]
         if keep.size == 0:

@@ -10,8 +10,40 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
+
+
+def backbone_frozen_mask(params):
+    """Trainability mask (True = trainable) replicating what the reference
+    optimizer never updates (/root/reference/train_matchrcnn.py:70 filters on
+    ``requires_grad``):
+
+    - torchvision ``resnet_fpn_backbone('resnet50', ...)`` defaults to
+      ``trainable_layers=3``, which sets ``requires_grad=False`` on the stem
+      (conv1 + bn1) and layer1 (/root/reference/models/matchrcnn.py:486);
+    - every ``FrozenBatchNorm2d`` affine is a torch *buffer*, not a
+      parameter, so no BN scale/shift anywhere in the backbone body is ever
+      optimized.
+
+    Wrap the optimizer with ``optax.masked(tx, backbone_frozen_mask)`` so the
+    frozen leaves get zero updates AND no momentum/weight-decay state —
+    matching params that are simply absent from ``torch.optim.SGD``.
+    """
+    bn_names = ("bn1", "bn2", "bn3", "downsample_bn")
+
+    def trainable(path, _):
+        keys = [getattr(p, "key", None) for p in path]
+        if len(keys) >= 2 and keys[0] == "backbone" and keys[1] == "body":
+            mod = keys[2] if len(keys) > 2 else ""
+            if mod in ("conv1", "bn1") or mod.startswith("layer1_"):
+                return False
+            if any(k in bn_names for k in keys[2:]):
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
 
 
 def multistep_warmup_schedule(
@@ -51,13 +83,22 @@ def sgd(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     clip_grad_norm: float = 0.0,
+    trainable_mask=None,
 ) -> optax.GradientTransformation:
     """torch.optim.SGD semantics: wd added to the gradient, then heavyweight
     momentum (dampening 0), update = -lr * buf.
 
     ``clip_grad_norm`` > 0 prepends global-norm clipping — NOT reference
     behavior (off by default); needed for from-scratch training without an
-    ImageNet backbone (TrainConfig.clip_grad_norm)."""
+    ImageNet backbone (TrainConfig.clip_grad_norm).
+
+    ``trainable_mask`` (pytree of bool matching params, or callable
+    params -> mask) excludes leaves from the whole chain — zero update, no
+    momentum/wd state, and no contribution to the clip norm — exactly like
+    params filtered out of ``torch.optim.SGD`` by ``requires_grad``
+    (see backbone_frozen_mask).  NOTE: implemented with multi_transform +
+    set_to_zero, NOT optax.masked(tx, mask) — masked passes the masked-OUT
+    leaves' updates through *unchanged* (raw gradients would be applied)."""
     parts = []
     if clip_grad_norm:
         parts.append(optax.clip_by_global_norm(clip_grad_norm))
@@ -65,4 +106,13 @@ def sgd(
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.trace(decay=momentum, nesterov=False))
     parts.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if trainable_mask is not None:
+        def labels(tree):
+            mask = (trainable_mask(tree) if callable(trainable_mask)
+                    else trainable_mask)
+            return jax.tree.map(lambda t: "train" if t else "freeze", mask)
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx

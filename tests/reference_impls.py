@@ -88,3 +88,42 @@ def level_map_ref(rois, k_min=2, k_max=5, s0=224.0, lvl0=4):
     s = np.sqrt(area)
     lvl = np.floor(lvl0 + np.log2(s / s0 + 1e-12) + 1e-6)
     return (np.clip(lvl, k_min, k_max) - k_min).astype(np.int32)
+
+
+def paste_masks_ref(masks, boxes, im_h, im_w):
+    """torchvision ``paste_masks_in_image`` (padding=1) in torch — the exact
+    reference-eval mask postprocess (GeneralizedRCNN.postprocess applied to
+    /root/reference/models/video_matchrcnn.py:292 outputs): zero-pad the MxM
+    mask by 1, expand the box by (M+2)/M, round it to int64, bilinearly
+    resize to the integer box size (align_corners=False) and scatter the
+    in-image slice.  masks: [N, M, M] float; boxes: [N, 4] xyxy float.
+    Returns [N, im_h, im_w] float probabilities."""
+    import torch
+    import torch.nn.functional as F
+
+    masks_t = torch.as_tensor(np.asarray(masks), dtype=torch.float32)
+    boxes_np = np.asarray(boxes, np.float64)
+    m = masks_t.shape[-1]
+    scale = (m + 2.0) / m
+    padded = F.pad(masks_t, (1, 1, 1, 1))
+
+    w_half = (boxes_np[:, 2] - boxes_np[:, 0]) * 0.5 * scale
+    h_half = (boxes_np[:, 3] - boxes_np[:, 1]) * 0.5 * scale
+    x_c = (boxes_np[:, 2] + boxes_np[:, 0]) * 0.5
+    y_c = (boxes_np[:, 3] + boxes_np[:, 1]) * 0.5
+    exp = np.stack([x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half],
+                   axis=1).astype(np.int64)
+
+    out = np.zeros((len(boxes_np), im_h, im_w), np.float32)
+    for i, box in enumerate(exp):
+        w = max(int(box[2] - box[0] + 1), 1)
+        h = max(int(box[3] - box[1] + 1), 1)
+        resized = F.interpolate(padded[i][None, None], size=(h, w),
+                                mode="bilinear", align_corners=False)[0, 0]
+        x0, x1 = max(box[0], 0), min(box[2] + 1, im_w)
+        y0, y1 = max(box[1], 0), min(box[3] + 1, im_h)
+        if x1 > x0 and y1 > y0:
+            out[i, y0:y1, x0:x1] = resized[
+                (y0 - box[1]):(y1 - box[1]), (x0 - box[0]):(x1 - box[0])
+            ].numpy()
+    return out

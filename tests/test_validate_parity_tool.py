@@ -50,7 +50,7 @@ def test_build_config_profiles():
     serving = vp.build_config("serving", small=False)
     fast = vp.build_config("fast", small=False)
     assert exact.roi_heads.roi_align_backend == "xla"
-    assert serving.roi_heads.roi_align_backend == "pallas"
+    assert serving.roi_heads.roi_align_backend == "pallas_resident"
     assert fast.rpn.post_nms_top_n_test == 1000
     small = vp.build_config("serving", small=True)
     assert small.transform.min_size == 96
