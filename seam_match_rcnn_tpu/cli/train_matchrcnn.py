@@ -26,7 +26,7 @@ from ..ckpt.io import (CheckpointManager, resolve_auto_resume,
 from ..models.matchrcnn import init_model
 from ..train.engine import train_one_epoch_matchrcnn
 from ..train.optim import backbone_frozen_mask, multistep_warmup_schedule, sgd
-from ..train.steps import TrainState, create_train_state, make_phase1_grad_apply
+from ..train.steps import Phase1Trainer, TrainState, create_train_state
 from ..utils.logging import ScalarWriter
 
 
@@ -80,6 +80,12 @@ def build_argparser():
                         "exact adjoint backward, 1.36x step speedup; its "
                         "forward approximates only extreme-aspect outlier "
                         "boxes — see PERF.md)")
+    p.add_argument("--roi_backend", type=str, default="pallas",
+                   choices=["pallas", "pallas_resident", "xla"],
+                   help="training RoIAlign backend; both Pallas kernels "
+                        "carry a custom_vjp exact-adjoint backward "
+                        "(pallas_resident: tile-resident, ~9x fewer HBM "
+                        "bytes — see PERF.md for the train-step A/B)")
     return p
 
 
@@ -88,13 +94,14 @@ def main(argv=None):
 
     initialize_distributed()  # no-op unless SEAM_MULTIHOST=1
     args = build_argparser().parse_args(argv)
-    # Phase-1 trains THROUGH RoIAlign, so it pins the differentiable
-    # patch-DMA backend (custom_vjp exact adjoint); the serving default
-    # pallas_resident is inference-only (no vjp).
+    # Phase-1 trains THROUGH RoIAlign: both Pallas backends carry a
+    # custom_vjp exact-adjoint backward; --roi_backend selects (patch-DMA
+    # default pending the resident train-step A/B, PERF.md).
     from ..config import RoIHeadsConfig
 
+    backend = "xla" if args.exact_roi_align else args.roi_backend
     cfg = (ModelConfig() if args.exact_roi_align else serving_model_config(
-        roi_heads=RoIHeadsConfig(roi_align_backend="pallas")))
+        roi_heads=RoIHeadsConfig(roi_align_backend=backend)))
     if args.synthetic:
         import dataclasses
         import tempfile
@@ -194,9 +201,10 @@ def main(argv=None):
         else:
             start_ep = int(payload.get("epoch", 0)) + 1
 
-    # (grad, accum, apply) triple: one optimizer update per batch even when
-    # orientations mix (reference engine.py:62-64 semantics)
-    step_fn = make_phase1_grad_apply(model, tx)
+    # Phase1Trainer: one optimizer update per batch with exact fused-batch
+    # semantics even when orientations mix — batch-spanning normalizers and
+    # cross-bucket street-shop match pairs (reference engine.py:42-64)
+    step_fn = Phase1Trainer(model, tx)
     writer = ScalarWriter(os.path.join(args.log_dir, args.save_tag))
     ckpts = CheckpointManager(os.path.join(args.save_dir, args.save_tag),
                               tcfg.save_epochs)

@@ -145,9 +145,11 @@ def serving_model_config(**overrides) -> "ModelConfig":
     where bandwidth binds).  Window semantics identical to the patch-DMA
     backend (40×48 footprint contract; extreme-aspect outliers clamp at
     the patch edge; compiled e2e parity in tools/drive_resident_e2e.py).
-    Inference-only — phase-1 training pins roi_align_backend="pallas"
-    (differentiable patch-DMA forward + exact adjoint) instead.  Use
-    ModelConfig() for the exact path."""
+    Differentiable: the resident forward carries the same exact-adjoint
+    custom_vjp as the patch-DMA backend
+    (ops/pallas_roi_align_resident.pallas_roi_align_resident_trainable),
+    so phase-1 can train through this profile too (cli/train_matchrcnn
+    --roi_backend).  Use ModelConfig() for the exact path."""
     kw = dict(
         roi_heads=RoIHeadsConfig(roi_align_backend="pallas_resident"),
         match=MatchHeadConfig(nlb_backend="pallas"),

@@ -43,11 +43,28 @@ def fastrcnn_loss(
     class_logits: [N, C]; box_deltas: [N, 4C]; labels: [N] (0 = bg);
     regression_targets: [N, 4] (vs the matched gt); valid: [N].
     """
+    cls_sum, box_sum, denom = fastrcnn_loss_parts(
+        class_logits, box_deltas, labels, regression_targets, valid)
+    denom = jnp.maximum(denom, 1)
+    return cls_sum / denom, box_sum / denom
+
+
+def fastrcnn_loss_parts(
+    class_logits: jnp.ndarray,
+    box_deltas: jnp.ndarray,
+    labels: jnp.ndarray,
+    regression_targets: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unnormalized (cls_sum, box_sum, n_valid) — the normalizer spans the
+    whole training batch in torchvision's fastrcnn_loss, so orientation-
+    bucketed steps must sum numerators/denominators ACROSS buckets before
+    dividing (train/steps.Phase1Trainer) to match the reference's fused
+    mixed batch."""
     n, c = class_logits.shape
     safe_labels = jnp.where(valid, labels, 0)
     ce = softmax_ce(class_logits, safe_labels)
-    denom = jnp.maximum(jnp.sum(valid), 1)
-    loss_cls = jnp.sum(jnp.where(valid, ce, 0.0)) / denom
+    cls_sum = jnp.sum(jnp.where(valid, ce, 0.0))
 
     pos = valid & (labels > 0)
     per_class = box_deltas.reshape(n, c, 4)
@@ -55,8 +72,8 @@ def fastrcnn_loss(
         per_class, safe_labels[:, None, None].repeat(4, -1), axis=1
     )[:, 0]
     l1 = jnp.sum(smooth_l1(picked - regression_targets), axis=-1)
-    loss_box = jnp.sum(jnp.where(pos, l1, 0.0)) / denom
-    return loss_cls, loss_box
+    box_sum = jnp.sum(jnp.where(pos, l1, 0.0))
+    return cls_sum, box_sum, jnp.sum(valid)
 
 
 def maskrcnn_loss(
@@ -71,6 +88,22 @@ def maskrcnn_loss(
     mask_logits: [P, 28, 28, C]; mask_targets: [P, 28, 28] in [0,1];
     labels: [P] class of the matched gt; valid: [P].
     """
+    bce_sum, n_valid = maskrcnn_loss_parts(
+        mask_logits, mask_targets, labels, valid)
+    denom = jnp.maximum(n_valid, 1) * (
+        mask_targets.shape[1] * mask_targets.shape[2])
+    return bce_sum / denom
+
+
+def maskrcnn_loss_parts(
+    mask_logits: jnp.ndarray,
+    mask_targets: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unnormalized (bce_sum, n_valid); the mean is over positives x pixels
+    of the WHOLE batch — see fastrcnn_loss_parts for why bucketed steps
+    need the pieces."""
     safe = jnp.maximum(labels, 0)
     per_label = jnp.take_along_axis(
         mask_logits, safe[:, None, None, None], axis=-1
@@ -78,8 +111,8 @@ def maskrcnn_loss(
     bce = jnp.maximum(per_label, 0) - per_label * mask_targets + jnp.log1p(
         jnp.exp(-jnp.abs(per_label))
     )
-    denom = jnp.maximum(jnp.sum(valid), 1) * mask_targets.shape[1] * mask_targets.shape[2]
-    return jnp.sum(jnp.where(valid[:, None, None], bce, 0.0)) / denom
+    bce_sum = jnp.sum(jnp.where(valid[:, None, None], bce, 0.0))
+    return bce_sum, jnp.sum(valid)
 
 
 def mask_targets_from_crops(

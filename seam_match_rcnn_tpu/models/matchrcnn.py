@@ -178,9 +178,10 @@ class MatchRCNN(nn.Module):
             ))
         if c.roi_align_backend == "pallas_resident":
             # tile-resident kernel (shared VMEM tiles instead of per-roi HBM
-            # DMA, ~9x fewer HBM bytes); inference-only — no vjp.  Generic
-            # call sites unpermute the pooled features; the hot 4000-roi box
-            # branch uses the sorted fast path instead (box_branch below).
+            # DMA, ~9x fewer HBM bytes); differentiable via the exact-adjoint
+            # custom_vjp wrapper (trainable in phase-1).  Generic call sites
+            # unpermute the pooled features; the hot 4000-roi box branch
+            # uses the sorted fast path instead (box_branch below).
             pooled, order = self._resident_roi(feats, rois, output_size)
             b, r = rois.shape[:2]
             # invert the tile-sort with a GATHER of the big pooled array
@@ -204,7 +205,8 @@ class MatchRCNN(nn.Module):
         # forward; the kernel's full-pyramid pad is roi-independent and XLA
         # CSE merges the duplicates (verified in compiled HLO: one pad op
         # per FPN level, not two) — no prequant-style hoist needed.
-        from ..ops.pallas_roi_align_resident import pallas_roi_align_resident
+        from ..ops.pallas_roi_align_resident import (
+            pallas_roi_align_resident_trainable)
 
         c = self.cfg.roi_heads
         # Cap the kernel's chunk at the (static) roi count so small streams
@@ -213,9 +215,11 @@ class MatchRCNN(nn.Module):
         # pad rois would be pooled for real.
         n = rois.shape[0] * rois.shape[1]
         chunk = min(2048, -(-n // 8) * 8)
-        return pallas_roi_align_resident(
+        # trainable wrapper: identical forward; custom_vjp (exact adjoint)
+        # makes the resident backend usable in phase-1 training
+        return pallas_roi_align_resident_trainable(
             tuple(feats[:4]), rois, output_size, c.sampling_ratio,
-            roi_chunk=chunk, out_dtype=jnp.dtype(feats[0].dtype),
+            chunk, jnp.dtype(feats[0].dtype),
         )
 
     def box_roi(self, feats, rois, prequant=None):
@@ -332,7 +336,7 @@ class MatchRCNN(nn.Module):
 
     # ---- phase-1 training forward --------------------------------------
 
-    def training_losses(
+    def _train_core(
         self,
         images: jnp.ndarray,
         image_sizes: jnp.ndarray,
@@ -340,17 +344,18 @@ class MatchRCNN(nn.Module):
         rng: jax.Array,
         num_match_slots: int = 8,
         num_mask_slots: int = 128,
-    ) -> Dict[str, jnp.ndarray]:
-        """Supervised Match R-CNN losses (reference phase-1 step:
-        /root/reference/models/matchrcnn.py:333-472 in training mode).
+    ):
+        """Shared phase-1 forward: detector losses as UNNORMALIZED
+        (sum, denominator) parts plus the match-branch RoI exports.
 
-        gt: boxes [B,G,4], labels [B,G], valid [B,G], pair_ids [B,G],
-        styles [B,G], source [B] (0 street / 1 shop, image-level — the
-        reference reads targets['sources'][0] at matchrcnn.py:435),
-        mask_crops [B,G,S,S] (per-gt fixed-size mask crops).
+        The cls/box/mask normalizers span the whole training batch in the
+        reference (torchvision fastrcnn_loss / maskrcnn_loss over the
+        concatenated image list), so orientation-bucketed training must sum
+        parts across buckets before dividing — ``training_losses``
+        normalizes for the single fused batch; ``train_export`` hands the
+        parts to train/steps.Phase1Trainer for the multi-bucket case.
         """
         from ..losses import detection as det_losses
-        from ..losses.match import match_loss_supervised
         from ..ops.targets import assign_and_sample
 
         cfg = self.cfg.roi_heads
@@ -387,7 +392,8 @@ class MatchRCNN(nn.Module):
                 self.cfg.rpn.fg_iou_thresh, self.cfg.rpn.bg_iou_thresh,
             )
         )(obj_flat, reg_flat, gt["boxes"], gt["valid"], rpn_rngs)
-        loss_obj, loss_rpn_box = jnp.mean(loss_obj), jnp.mean(loss_rpn_box)
+        # per-image means; the batch mean is numerator/B (B known to callers)
+        obj_sum, rpn_box_sum = jnp.sum(loss_obj), jnp.sum(loss_rpn_box)
 
         # --- proposal sampling (gt appended, matchrcnn.py:130-136) ------
         all_props = jnp.concatenate([props, gt["boxes"]], axis=1)
@@ -413,7 +419,7 @@ class MatchRCNN(nn.Module):
         matched_gt = jnp.take_along_axis(gt["boxes"], s_matched[..., None], axis=1)
         reg_targets = encode_boxes(matched_gt, s_props, cfg.bbox_reg_weights)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
-        loss_cls, loss_box = det_losses.fastrcnn_loss(
+        cls_sum, box_sum, samp_n = det_losses.fastrcnn_loss_parts(
             flat(class_logits), flat(box_deltas), flat(s_labels),
             flat(reg_targets), flat(s_valid),
         )
@@ -431,42 +437,110 @@ class MatchRCNN(nn.Module):
                 crops, gb, p, mi
             )
         )(gt["mask_crops"].astype(jnp.float32), gt["boxes"], m_props, m_matched)
-        loss_mask = det_losses.maskrcnn_loss(
+        mask_sum, mask_n = det_losses.maskrcnn_loss_parts(
             mask_logits, flat(mask_t), flat(m_labels), flat(m_valid)
         )
 
-        # --- match branch (top-iou positives, match_head.py:441-463) ----
+        # --- match branch RoIs (top-iou positives, match_head.py:441-463)
         k = num_match_slots
         slot_idx, slot_valid = jax.vmap(
             lambda p, pv, g, gv: _select_match_slots(p, pv, g, gv, k)
         )(m_props, m_valid, gt["boxes"], gt["valid"])
-        mt_props = jnp.take_along_axis(m_props, slot_idx[..., None], axis=1)
         mt_matched = jnp.take_along_axis(m_matched, slot_idx, axis=1)
         mt_roi = jnp.take_along_axis(
             roi14, slot_idx[..., None, None, None], axis=1
         ).astype(jnp.float32)
+
+        parts = {
+            "obj_sum": obj_sum,
+            "rpn_box_sum": rpn_box_sum,
+            "cls_sum": cls_sum,
+            "box_sum": box_sum,
+            "samp_n": samp_n,
+            "mask_sum": mask_sum,
+            "mask_n": mask_n,
+        }
+        meta = {
+            "pair_ids": flat(
+                jnp.take_along_axis(gt["pair_ids"], mt_matched, axis=1)),
+            "styles": flat(
+                jnp.take_along_axis(gt["styles"], mt_matched, axis=1)),
+            "src": jnp.repeat(gt["source"], k),
+            "valid": flat(slot_valid),
+        }
+        return parts, mt_roi.reshape((b * k,) + mt_roi.shape[2:]), meta
+
+    def match_loss_from_rois(self, rois, meta) -> jnp.ndarray:
+        """Supervised match loss over exported match-slot RoIs
+        (reference models/match_head.py:441-505).  rois: [N, 14, 14, C]
+        f32; meta: pair_ids/styles/src/valid, all [N].  Module method so
+        it binds self.match_predictor (its BN trains over the FULL slot
+        set — pass the whole batch's slots, never one bucket's)."""
+        from ..losses.match import match_loss_supervised
+
         desc = self.match_predictor.descriptors(
-            mt_roi.reshape(b * k, 14, 14, -1), train=True,
-            valid=flat(slot_valid),
+            rois, train=True, valid=meta["valid"],
         )
         logits = self.match_predictor.score_pairs(desc, desc)
-        pair_ids = flat(jnp.take_along_axis(gt["pair_ids"], mt_matched, axis=1))
-        styles = flat(jnp.take_along_axis(gt["styles"], mt_matched, axis=1))
-        src = jnp.repeat(gt["source"], k)
-        sv = flat(slot_valid)
-        loss_match = match_loss_supervised(
-            logits, pair_ids, styles, pair_ids, styles,
-            sv & (src == 0), sv & (src == 1), require_nonzero_style=True,
+        sv = meta["valid"]
+        return match_loss_supervised(
+            logits, meta["pair_ids"], meta["styles"],
+            meta["pair_ids"], meta["styles"],
+            sv & (meta["src"] == 0), sv & (meta["src"] == 1),
+            require_nonzero_style=True,
         )
 
+    @staticmethod
+    def det_losses_from_parts(parts, n_images, mask_px: int = 28 * 28):
+        """Normalize detector-loss parts (possibly summed across
+        orientation buckets) exactly like the fused batch."""
+        samp_n = jnp.maximum(parts["samp_n"], 1)
         return {
-            "loss_objectness": loss_obj,
-            "loss_rpn_box_reg": loss_rpn_box,
-            "loss_classifier": loss_cls,
-            "loss_box_reg": loss_box,
-            "loss_mask": loss_mask,
-            "loss_match": loss_match,
+            "loss_objectness": parts["obj_sum"] / n_images,
+            "loss_rpn_box_reg": parts["rpn_box_sum"] / n_images,
+            "loss_classifier": parts["cls_sum"] / samp_n,
+            "loss_box_reg": parts["box_sum"] / samp_n,
+            "loss_mask": parts["mask_sum"]
+            / (jnp.maximum(parts["mask_n"], 1) * mask_px),
         }
+
+    def train_export(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        gt: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        num_match_slots: int = 8,
+        num_mask_slots: int = 128,
+    ):
+        """Bucket export for linked multi-orientation training
+        (train/steps.Phase1Trainer): (detector loss parts, match RoIs
+        [B*k, 14, 14, C], slot metadata)."""
+        return self._train_core(
+            images, image_sizes, gt, rng, num_match_slots, num_mask_slots)
+
+    def training_losses(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        gt: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        num_match_slots: int = 8,
+        num_mask_slots: int = 128,
+    ) -> Dict[str, jnp.ndarray]:
+        """Supervised Match R-CNN losses (reference phase-1 step:
+        /root/reference/models/matchrcnn.py:333-472 in training mode).
+
+        gt: boxes [B,G,4], labels [B,G], valid [B,G], pair_ids [B,G],
+        styles [B,G], source [B] (0 street / 1 shop, image-level — the
+        reference reads targets['sources'][0] at matchrcnn.py:435),
+        mask_crops [B,G,S,S] (per-gt fixed-size mask crops).
+        """
+        parts, mt_roi, meta = self._train_core(
+            images, image_sizes, gt, rng, num_match_slots, num_mask_slots)
+        losses = self.det_losses_from_parts(parts, images.shape[0])
+        losses["loss_match"] = self.match_loss_from_rois(mt_roi, meta)
+        return losses
 
     def init_all(self, images, image_sizes):
         """Initialization-only forward touching every submodule (flax creates

@@ -408,3 +408,59 @@ def pallas_roi_align_resident(
     if cpad:
         out = out[..., :c]
     return out, order
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def pallas_roi_align_resident_trainable(
+    features, rois, output_size, sampling_ratio=2, roi_chunk=2048,
+    out_dtype=jnp.float32,
+):
+    """Differentiable tile-resident RoIAlign (VERDICT r2 #7): the resident
+    kernel forward + the EXACT adjoint of the XLA gather implementation as
+    backward, mirroring ``pallas_roi_align.pallas_roi_align_trainable``.
+    RoIAlign is linear in ``features`` for fixed rois, so the vjp is a fixed
+    transpose independent of the forward's values; gradients match the
+    exact kernel everywhere the two forwards agree.  No grad w.r.t. rois
+    (the reference detaches proposals).
+
+    features: TUPLE of per-level [B, H, W, C]; rois [B, R, 4].
+    Returns (pooled, order) exactly like ``pallas_roi_align_resident`` —
+    ``order`` is an int permutation (zero cotangent).
+    """
+    return pallas_roi_align_resident(
+        features, rois, output_size, sampling_ratio,
+        roi_chunk=roi_chunk, out_dtype=out_dtype,
+    )
+
+
+def _res_trainable_fwd(features, rois, output_size, sampling_ratio,
+                       roi_chunk, out_dtype):
+    out = pallas_roi_align_resident_trainable(
+        features, rois, output_size, sampling_ratio, roi_chunk, out_dtype)
+    return out, (features, rois, out[1])
+
+
+def _res_trainable_bwd(output_size, sampling_ratio, roi_chunk, out_dtype,
+                       res, g):
+    from .roi_align import multilevel_roi_align_adjoint
+
+    features, rois, order = res
+    g_pooled = g[0]  # cotangent for `order` is zero (int output)
+    b, r = rois.shape[:2]
+    # pooled[s] belongs to original flat roi order[s]: route each sorted
+    # cotangent row back to its original slot, then run the exact adjoint
+    # in original roi order.
+    g_orig = jnp.zeros_like(g_pooled).at[order].set(g_pooled)
+    g_orig = g_orig.reshape((b, r) + g_pooled.shape[1:]).astype(jnp.float32)
+    level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
+    adj = jax.vmap(
+        lambda gi, ri: multilevel_roi_align_adjoint(
+            gi, level_shapes, ri, output_size, sampling_ratio
+        )
+    )(g_orig, rois)
+    gfeats = tuple(a.astype(f.dtype) for a, f in zip(adj, features))
+    return gfeats, jnp.zeros_like(rois)
+
+
+pallas_roi_align_resident_trainable.defvjp(_res_trainable_fwd,
+                                           _res_trainable_bwd)

@@ -23,6 +23,7 @@ import numpy as np
 from ..models.transform import batch_images
 from ..utils.logging import MetricLogger, ScalarWriter
 from . import seam as seam_mod
+from .steps import Phase1Trainer
 
 
 class NonFiniteLossError(RuntimeError):
@@ -88,15 +89,19 @@ def train_one_epoch_matchrcnn(
     batches.
 
     Mixed-orientation batches are split per canvas bucket (the
-    static-canvas analogue of torchvision's dynamic batch padding).  When
-    ``step_fn`` is the (grad, accum, apply) triple from
-    ``make_phase1_grad_apply``, bucket gradients are accumulated (weighted
-    by bucket fraction) into ONE optimizer update per batch — matching the
-    reference's one-step-per-batch semantics
-    (/root/reference/stuffs/engine.py:62-64).  A plain step_fn callable
-    performs a full update per bucket (legacy behavior, exact only for
-    single-orientation batches).
+    static-canvas analogue of torchvision's dynamic batch padding).
+    ``step_fn`` forms:
+      * ``steps.Phase1Trainer`` (production): ONE update per batch with
+        EXACT fused semantics — batch-spanning loss normalizers and
+        cross-bucket street-shop match pairs (see Phase1Trainer docstring);
+      * (grad, accum, apply) triple from ``make_phase1_grad_apply``:
+        bucket gradients accumulated weighted by bucket fraction — one
+        update per batch, but per-bucket normalizers and no cross-bucket
+        match pairs (kept for tests/ablation);
+      * plain callable: a full update per bucket (legacy, exact only for
+        single-orientation batches).
     """
+    linked = isinstance(step_fn, Phase1Trainer)
     accumulate = isinstance(step_fn, tuple)
     if accumulate:
         grad_fn, accum_fn, apply_fn = step_fn
@@ -109,6 +114,7 @@ def train_one_epoch_matchrcnn(
         stats = None
         lf: Dict[str, float] = {}
         n_total = len(images)
+        bucket_batches, bucket_rngs = [], []
         for bucket in batch_images(images, model.cfg.transform):
             bt = [targets[i] for i in bucket.indices]
             # empty targets still carry (0, c, c) (data/df2.py), so the
@@ -123,7 +129,10 @@ def train_one_epoch_matchrcnn(
                 "gt": jax.tree.map(jnp.asarray, gt),
             }
             rng, sub = jax.random.split(rng)
-            if accumulate:
+            if linked:
+                bucket_batches.append(batch)
+                bucket_rngs.append(sub)
+            elif accumulate:
                 w = len(bucket.indices) / n_total
                 # chain BN running stats through the buckets (the reference
                 # sees the whole batch in one forward; sequential EMA updates
@@ -138,6 +147,11 @@ def train_one_epoch_matchrcnn(
                 lf = {k: float(v) for k, v in losses.items()}
                 _check_finite(lf, f"epoch {epoch} step {count} ids {ids}")
                 logger.update(**lf)
+        if linked and bucket_batches:
+            state, losses = step_fn.step(state, bucket_batches, bucket_rngs)
+            lf = {k: float(v) for k, v in losses.items()}
+            _check_finite(lf, f"epoch {epoch} step {count} ids {ids}")
+            logger.update(**lf)
         if accumulate and acc is not None:
             state = apply_fn(state, acc, stats)
             _check_finite(lf, f"epoch {epoch} step {count} ids {ids}")

@@ -119,3 +119,133 @@ def make_phase1_grad_apply(model: MatchRCNN, tx: optax.GradientTransformation):
         return TrainState(params, new_stats, opt_state, state.step + 1)
 
     return grad_fn, accum_fn, apply_fn
+
+
+class Phase1Trainer:
+    """Phase-1 step with EXACT fused-batch semantics for mixed-orientation
+    batches (the production path; replaces the per-image-weighted
+    accumulation triple's two documented deviations).
+
+    The reference trains the WHOLE mixed batch in one dynamic-shape forward
+    (/root/reference/stuffs/engine.py:42-64): its cls/box/mask normalizers
+    span the batch, and its match loss pairs street and shop slots ACROSS
+    images — including pairs whose two images land in different static
+    canvases here.  Bucket-weighted accumulation loses both: normalizers
+    become per-bucket, and cross-bucket street-shop pairs vanish from the
+    match loss entirely.
+
+    Exact scheme (one optimizer update per batch, reference semantics):
+      1. ``export`` per bucket (forward-only): unnormalized detector loss
+         parts + the match-slot RoIs [B_b*k, 14, 14, C] with pair metadata.
+      2. ``match_grad`` once over the CONCATENATED RoIs: global match loss
+         (its BN trains over the full slot set, per-pair normalization,
+         cross-bucket pairs intact) + cotangents d(loss)/d(rois) and the
+         match-predictor param grads.
+      3. ``linked_grad`` per bucket (rematerialized backward): gradient of
+         [global-scale · detector-loss parts + <rois, g_rois_bucket>] —
+         pulling the match cotangent back through each bucket's detector.
+      4. merge + ONE tx.update.
+    Cost: one extra detector forward per bucket vs the fused single-bucket
+    step; single-orientation batches take the fused path (no overhead).
+    """
+
+    def __init__(self, model: MatchRCNN, tx: optax.GradientTransformation):
+        self.model, self.tx = model, tx
+        self.grad_fn, self.accum_fn, self.apply_fn = make_phase1_grad_apply(
+            model, tx)
+
+        @jax.jit
+        def export_fn(state: TrainState, batch, rng):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            return model.apply(
+                variables, batch["images"], batch["sizes"], batch["gt"],
+                rng, method=MatchRCNN.train_export)
+
+        @jax.jit
+        def match_grad_fn(mp_params, mp_stats, rois, meta):
+            def f(p, r):
+                loss, mut = model.apply(
+                    {"params": {"match_predictor": p},
+                     "batch_stats": {"match_predictor": mp_stats}},
+                    r, meta, method=MatchRCNN.match_loss_from_rois,
+                    mutable=["batch_stats"],
+                )
+                return loss, mut["batch_stats"]["match_predictor"]
+
+            (loss, new_stats), (g_mp, g_rois) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True)(mp_params, rois)
+            return loss, g_mp, g_rois, new_stats
+
+        @jax.jit
+        def linked_grad_fn(state: TrainState, batch, rng, scales, g_rois):
+            def loss_fn(params):
+                parts, rois, _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["images"], batch["sizes"], batch["gt"], rng,
+                    method=MatchRCNN.train_export)
+                tot = (
+                    scales["img"] * (parts["obj_sum"] + parts["rpn_box_sum"])
+                    + scales["samp"] * (parts["cls_sum"] + parts["box_sum"])
+                    + scales["mask"] * parts["mask_sum"]
+                    + jnp.vdot(rois, g_rois)
+                )
+                return tot, parts
+
+            return jax.grad(loss_fn, has_aux=True)(state.params)
+
+        @jax.jit
+        def merge_apply_fn(state: TrainState, acc, g_mp, new_mp_stats
+                           ) -> TrainState:
+            acc = dict(acc, match_predictor=jax.tree.map(
+                jnp.add, acc["match_predictor"], g_mp))
+            updates, opt_state = tx.update(acc, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            stats = dict(state.batch_stats, match_predictor=new_mp_stats)
+            return TrainState(params, stats, opt_state, state.step + 1)
+
+        self.export_fn = export_fn
+        self.match_grad_fn = match_grad_fn
+        self.linked_grad_fn = linked_grad_fn
+        self.merge_apply_fn = merge_apply_fn
+
+    def step(self, state: TrainState, batches, rngs
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """batches: one batch dict per canvas bucket; rngs: one key per
+        bucket (engine splits them in data order for resume replay)."""
+        if len(batches) == 1:  # fused path IS the exact semantics
+            grads, losses, stats = self.grad_fn(
+                state, batches[0], rngs[0], jnp.float32(1.0))
+            return self.apply_fn(state, grads, stats), losses
+
+        exports = [self.export_fn(state, b, r)
+                   for b, r in zip(batches, rngs)]
+        parts_tot = jax.tree.map(
+            lambda *xs: sum(xs), *[e[0] for e in exports])
+        rois = jnp.concatenate([e[1] for e in exports], axis=0)
+        meta = {k: jnp.concatenate([e[2][k] for e in exports], axis=0)
+                for k in exports[0][2]}
+        loss_match, g_mp, g_rois, new_mp_stats = self.match_grad_fn(
+            state.params["match_predictor"],
+            state.batch_stats["match_predictor"], rois, meta)
+
+        n_images = sum(b["images"].shape[0] for b in batches)
+        one = jnp.float32(1.0)
+        scales = {
+            "img": one / n_images,
+            "samp": one / jnp.maximum(parts_tot["samp_n"], 1),
+            "mask": one / (jnp.maximum(parts_tot["mask_n"], 1) * (28 * 28)),
+        }
+        acc = None
+        off = 0
+        for b, r, e in zip(batches, rngs, exports):
+            n_b = e[1].shape[0]
+            grads, _ = self.linked_grad_fn(
+                state, b, r, scales, g_rois[off:off + n_b])
+            off += n_b
+            acc = grads if acc is None else self.accum_fn(acc, grads)
+        state = self.merge_apply_fn(state, acc, g_mp, new_mp_stats)
+        losses = MatchRCNN.det_losses_from_parts(parts_tot, n_images)
+        losses["loss_match"] = loss_match
+        losses["loss"] = sum(losses.values())
+        return state, losses

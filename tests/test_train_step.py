@@ -156,6 +156,44 @@ def test_phase1_step_pallas_backend_trains():
     assert abs(losses["xla"] - losses["pallas"]) < 0.05 * abs(losses["xla"]) + 1e-3
 
 
+def test_phase1_step_resident_backend_trains():
+    """Phase-1 step with the tile-resident RoIAlign (custom_vjp exact-
+    adjoint wrapper, VERDICT r2 #7): finite losses, a real update, close to
+    the xla-backend step.  Shapes kept minimal — the resident forward runs
+    in pallas interpret mode on CPU."""
+    import dataclasses
+
+    cfg_x = ModelConfig(
+        rpn=RPNConfig(pre_nms_top_n_train=30, post_nms_top_n_train=40,
+                      pre_nms_top_n_test=20, post_nms_top_n_test=30,
+                      batch_size_per_image=16),
+        roi_heads=RoIHeadsConfig(batch_size_per_image=16, detections_per_img=5),
+        compute_dtype="float32",
+    )
+    cfg_r = dataclasses.replace(
+        cfg_x, roi_heads=dataclasses.replace(
+            cfg_x.roi_heads, roi_align_backend="pallas_resident"))
+    model_x, variables = init_model(cfg_x, video=False, canvas=(32, 32))
+    model_r = MatchRCNN(cfg=cfg_r, video=False)
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    batch = make_batch(2, g=2, hw=(32, 32))
+
+    losses = {}
+    for name, model in [("xla", model_x), ("resident", model_r)]:
+        state = create_train_state(variables, tx)
+        step = make_phase1_step(model, tx)
+        st2, out = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(out["loss"]))
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(st2.params),
+                            jax.tree.leaves(state.params)))
+        assert moved
+        losses[name] = float(out["loss"])
+    assert abs(losses["xla"] - losses["resident"]) < \
+        0.05 * abs(losses["xla"]) + 1e-3
+
+
 def test_phase1_grad_apply_matches_single_step():
     """With one bucket (weight 1.0), the (grad, accum, apply) triple must
     reproduce make_phase1_step exactly; with two half-batches accumulated at

@@ -22,9 +22,12 @@ def main():
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--roi-backend", default="pallas", choices=["xla", "pallas"],
-                    help="RoIAlign backend (pallas = differentiable serving "
-                    "kernel with explicit exact adjoint; 1.36x step speedup)")
+    ap.add_argument("--roi-backend", default="pallas",
+                    choices=["xla", "pallas", "pallas_resident"],
+                    help="RoIAlign backend (pallas = differentiable patch-DMA "
+                    "kernel with explicit exact adjoint, 1.36x step speedup; "
+                    "pallas_resident = tile-resident kernel + the same exact "
+                    "adjoint, ~9x fewer forward HBM bytes)")
     ap.add_argument("--accum", action="store_true",
                     help="time the (grad, accum, apply) triple the phase-1 "
                     "CLI now uses (single-bucket weight 1.0) instead of the "
