@@ -213,12 +213,22 @@ def evaluate(
     )
 
     if save_artifacts:
+        import json
+
         os.makedirs(out_dir, exist_ok=True)
         perf = np.zeros((8, len(ks)))
         for row, s in enumerate(("sfmr", "product_max", "avg_desc", "aggr_desc")):
             perf[row] = [hits[s][j] / denom[s] * 100 for j in range(len(ks))]
         np.savetxt(os.path.join(out_dir, f"{time.time()}.csv"), perf,
                    fmt="%02.2f", delimiter="\t")
+        # machine-readable metrics, same layout as the MF eval's
+        # metrics.json (one split: MDF2 has no regular/hard partition)
+        metrics = {"all": {
+            s: {int(k): float(hits[s][j] / denom[s])
+                for j, k in enumerate(ks)} for s in STRATEGIES
+        }, "rank_median": float(np.median(all_ranks))}
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
 
     return (
         float(hits["sfmr"][0] / total_queries),

@@ -1,0 +1,117 @@
+"""Shared synthetic-data training flow for the profile validators.
+
+Trains phase-1 Match R-CNN on a synthetic DeepFashion2 fixture at REAL
+geometry (min side 800) and warm-starts the video model from it — the
+reference ``load_saved_matchrcnn`` flow (/root/reference/
+train_movingfashion.py:64-77).  Used by tools/validate_fast_profile.py and
+tools/validate_int8.py so the two gates train the SAME model once each and
+only vary the serving knob under test.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+
+
+def train_synthetic_phase1(products, epochs, batch, lr, palette_colors=None):
+    """Train on a fresh synthetic DF2 fixture; returns (trained_variables,
+    palette, root_dir).  palette_colors: reuse an existing palette (the
+    synthetic family's retrieval signal is color identity — eval products
+    must share the train palette)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (forces backend init before flax)
+    import optax
+
+    from seam_match_rcnn_tpu.config import ModelConfig
+    from seam_match_rcnn_tpu.data import convert as conv
+    from seam_match_rcnn_tpu.data.df2 import (DF2PairBatchSampler,
+                                              DeepFashion2Dataset)
+    from seam_match_rcnn_tpu.data.synthetic import make_synthetic_df2
+    from seam_match_rcnn_tpu.data.transforms import Compose, ToArray
+    from seam_match_rcnn_tpu.models.matchrcnn import init_model
+    from seam_match_rcnn_tpu.train.engine import train_one_epoch_matchrcnn
+    from seam_match_rcnn_tpu.train.optim import (multistep_warmup_schedule,
+                                                 sgd)
+    from seam_match_rcnn_tpu.train.steps import (create_train_state,
+                                                 make_phase1_grad_apply)
+
+    root = tempfile.mkdtemp(prefix="synthval_")
+    palette = palette_colors or [
+        list(map(int, c))
+        for c in np.random.RandomState(42).randint(64, 255, (products, 3))
+    ]
+    img_dir, ann_dir = make_synthetic_df2(
+        os.path.join(root, "df2"), n_products=products, views_per_side=2,
+        image_size=(160, 200), colors=palette)
+    ann = os.path.join(root, "df2", "annots.json")
+    conv.convert(img_dir, ann_dir, ann)
+
+    # f32 compute: from-scratch training in bf16 at this scale NaNs once
+    # warmup ends (see validate_fast_profile.py round-2 notes)
+    cfg = ModelConfig(compute_dtype="float32")
+    model, variables = init_model(
+        cfg, video=False, canvas=cfg.transform.landscape_canvas)
+    ds = DeepFashion2Dataset(ann, img_dir, transforms=Compose([ToArray()]))
+    sampler = DF2PairBatchSampler(ds, batch, seed=0)
+    steps = max(len(sampler), 1)
+    # From-scratch full-geometry Mask R-CNN without an ImageNet backbone
+    # diverges through the mask branch (the reference always warm-starts);
+    # the tools only need a working detector, so clip gradients — a tool
+    # choice, not a training-recipe parity claim.
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        sgd(multistep_warmup_schedule(
+            lr, (max(epochs - 2, 1),), 0.1, steps,
+            min(60, steps * (epochs - 1)), 1e-2), momentum=0.9))
+    state = create_train_state(variables, tx)
+    triple = make_phase1_grad_apply(model, tx)
+    rng = jax.random.PRNGKey(0)
+
+    def batches(epoch):
+        sampler.set_epoch(epoch)
+        for idxs in sampler:
+            items = [ds[i] for i in idxs]
+            yield ([i[0] for i in items], [i[1] for i in items],
+                   [i[2] for i in items])
+
+    for ep in range(epochs):
+        state, rng = train_one_epoch_matchrcnn(
+            model, state, triple, batches(ep), ep, rng, print_freq=4)
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    return trained, palette, root
+
+
+def video_vars(vcfg, trained):
+    """Warm-start VideoMatchRCNN variables from trained phase-1 variables
+    (reference load_saved_matchrcnn + clone_section semantics)."""
+    from seam_match_rcnn_tpu.models.matchrcnn import init_model
+
+    _, base = init_model(vcfg, video=True,
+                         canvas=vcfg.transform.landscape_canvas)
+    params = dict(base["params"])
+    stats = dict(base["batch_stats"])
+    params.update({k: v for k, v in trained["params"].items()})
+    stats.update({k: v for k, v in trained["batch_stats"].items()})
+    ta = dict(params["temporal_aggregator"])
+    ta["trunk"] = trained["params"]["match_predictor"]["trunk"]
+    ta["last"] = trained["params"]["match_predictor"]["last"]
+    params["temporal_aggregator"] = ta
+    stats["temporal_aggregator"] = trained["batch_stats"]["match_predictor"]
+    return {"params": params, "batch_stats": stats}
+
+
+def all_strategy_top1(out_dir):
+    """Read the eval harness's metrics.json: {strategy: top1} for every
+    strategy it records (the 7 MF strategies or the MDF2 family)."""
+    import json
+
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    table = metrics["all"] if "all" in metrics else metrics
+    out = {}
+    for strat, per_k in table.items():
+        if isinstance(per_k, dict):
+            ks = sorted(int(k) for k in per_k)
+            out[strat] = float(per_k[str(ks[0])])
+    return out
