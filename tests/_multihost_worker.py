@@ -94,6 +94,79 @@ def main():
     result["n_batches"] = n_batches
     result["shard_sizes"] = [len(s) for s in shard_sets]
 
+    # ---- jitted DP phase-1 train step over the 2-process GLOBAL mesh ----
+    # The thing that replaces NCCL grad sync (/root/reference/stuffs/
+    # utils.py:320-344, which the reference never actually wires — DDP is
+    # missing): each process contributes its local half of the global
+    # batch, the jitted loss spans the global batch, XLA inserts the grad
+    # all-reduce.  Verified two ways: (a) both processes end with
+    # bit-identical params; (b) the DP-updated params equal a fused
+    # single-device step over the full batch (same model, same rng).
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tests.test_train_step import make_batch
+    from seam_match_rcnn_tpu.config import (ModelConfig, RPNConfig,
+                                            RoIHeadsConfig)
+    from seam_match_rcnn_tpu.models.matchrcnn import init_model
+    from seam_match_rcnn_tpu.train.optim import sgd
+    from seam_match_rcnn_tpu.train.steps import (create_train_state,
+                                                 make_phase1_step)
+
+    cfg = ModelConfig(
+        rpn=RPNConfig(pre_nms_top_n_train=30, post_nms_top_n_train=40,
+                      pre_nms_top_n_test=20, post_nms_top_n_test=30,
+                      batch_size_per_image=16),
+        roi_heads=RoIHeadsConfig(batch_size_per_image=16,
+                                 detections_per_img=5),
+        compute_dtype="float32",
+    )
+    # deterministic init: both processes derive identical params
+    model, variables = init_model(cfg, video=False, canvas=(32, 32))
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    state = create_train_state(variables, tx)
+    step = make_phase1_step(model, tx)
+    batch = jax.tree.map(np.asarray, make_batch(4, g=2, hw=(32, 32)))
+    rng = jax.random.PRNGKey(0)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2), ("data",))
+    repl = NamedSharding(mesh, P())
+
+    def to_repl(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(repl, x, x.shape)
+
+    def to_global(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), x[2 * pid:2 * pid + 2], x.shape)
+
+    batch_g = jax.tree.map(to_global, batch)
+    state_g = jax.tree.map(to_repl, state)
+    out_state, out_losses = step(state_g, batch_g, to_repl(rng))
+    dp_loss = float(out_losses["loss"])
+
+    # (b) fused single-device reference step over the SAME full batch
+    ref_state, ref_losses = step(state, batch, rng)
+    max_delta = 0.0
+    for a, b_ in zip(jax.tree.leaves(out_state.params),
+                     jax.tree.leaves(ref_state.params)):
+        assert a.sharding.is_fully_replicated
+        max_delta = max(max_delta,
+                        float(np.max(np.abs(np.asarray(a) - np.asarray(b_)))))
+    result["dp_param_max_delta_vs_fused"] = max_delta
+    result["dp_loss"] = dp_loss
+    result["fused_loss"] = float(ref_losses["loss"])
+
+    # (a) cross-process param agreement (replicated output really is
+    # identical on both controllers)
+    import hashlib
+
+    digest = hashlib.sha256()
+    for leaf in jax.tree.leaves(out_state.params):
+        digest.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    hashes = C.gather_objects(digest.hexdigest())
+    result["dp_params_agree_across_processes"] = len(set(hashes)) == 1
+
     with open(out_path, "w") as f:
         json.dump(result, f)
     print("WORKER_OK", pid)

@@ -47,7 +47,9 @@ def test_two_process_distributed(tmp_path):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous: each worker also compiles the DP + fused train
+            # steps on this 1-core host
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -68,4 +70,11 @@ def test_two_process_distributed(tmp_path):
         assert r["shards_disjoint"] is True
         assert r["covers_all"] is True
         assert r["n_batches"] >= 1
+        # jitted DP phase-1 step over the 2-process global mesh: the
+        # in-graph grad all-reduce reproduces the fused single-device
+        # batch (float-assoc tolerance) and both controllers agree
+        assert r["dp_params_agree_across_processes"] is True
+        assert r["dp_param_max_delta_vs_fused"] < 1e-4, r
+        assert abs(r["dp_loss"] - r["fused_loss"]) < 1e-3 * (
+            1 + abs(r["fused_loss"]))
     assert results[0]["is_main"] and not results[1]["is_main"]
