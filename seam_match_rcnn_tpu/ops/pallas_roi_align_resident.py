@@ -80,10 +80,10 @@ def tile_sort_keys(lvl, y0i, x0p, img_idx, level0_shape, wide=True):
     return key, ty, tx
 
 
-def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, geom_ref,
-                f0, f1, f2, f3, out_ref, tile, sems, *,
+def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, gcls_ref,
+                geom_ref, f0, f1, f2, f3, out_ref, tile, sems, *,
                 output_size, sampling_ratio, n_groups, c, highest, tile_w,
-                col_stride):
+                col_stride, row_pieces, col_pieces):
     i = pl.program_id(0)
     o = output_size
     refs = (f0, f1, f2, f3)
@@ -119,32 +119,52 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, geom_ref,
             tile.at[slot], sems.at[slot],
         ).wait()
 
-    def pool(k):
+    def pool(k, ru=WIN_H, cu=PATCH_W):
+        """Pool roi k of this group from the resident tile.
+
+        ``ru``/``cu`` (static) gate the matmul shapes to the roi's footprint
+        piece: wy columns ≥ dy+nrows and wx columns ≥ ncols are EXACTLY zero
+        (the production kernel's tail-DMA invariant, pallas_roi_align.py
+        gate_matmul), so pooling from the first ru rows / cu cols of the
+        window is bit-identical while the MXU shapes shrink to the piece.
+        The per-group piece (max over the MINI rois, prep-computed) keeps
+        the branch count per GROUP, not per roi — the r2 bisection showed
+        per-roi pl.when machinery costs +0.17 µs/roi even predicated off.
+
+        Measured (dev chip, serving mix, 2026-08-19): COLUMN gating pays —
+        it shrinks matmul-1's N (= cu·C lanes, the MXU-time dim), matmul-2's
+        K, the wx build and the tmp reshape: 1.385 → 1.070 µs/roi at 5 col
+        pieces.  ROW gating does NOT (1.418): K = ru ≤ 48 is sub-MXU-tile,
+        so shrinking it buys nothing and pays the branch, hence the
+        single-piece row default.  A 3×3 row×col product grid measured
+        4.71 µs/roi — per-group branch bodies are cheap only while the body
+        count stays small.  PERF.md "Round-3" has the full table.
+        """
         j = i * MINI + k
         slot = jax.lax.rem(rank_ref[j], 2)
         row = pl.multiple_of(trow_ref[j], 8)
         col = pl.multiple_of(tcol_ref[j] * c, 128)
-        seg = tile[slot, pl.ds(row, WIN_H), pl.ds(col, PATCH_W * c)]
+        seg = tile[slot, pl.ds(row, ru), pl.ds(col, cu * c)]
         # pool-folded interp matrices in slice-local coords (prep shifted the
         # row geometry by the ≤7-row alignment residual)
         wy = _interp_matrix(geom_ref[k, 0], geom_ref[k, 2], geom_ref[k, 4],
-                            geom_ref[k, 5], o, sampling_ratio, WIN_H,
+                            geom_ref[k, 5], o, sampling_ratio, ru,
                             clamp_last=geom_ref[k, 8])
         wx = _interp_matrix(geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
-                            geom_ref[k, 7], o, sampling_ratio, PATCH_W)
+                            geom_ref[k, 7], o, sampling_ratio, cu)
         dn = (((1,), (0,)), ((), ()))
         if highest:
             tmp = jax.lax.dot_general(
-                wy, seg.reshape(WIN_H, PATCH_W * c), dimension_numbers=dn,
+                wy, seg.reshape(ru, cu * c), dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
         else:
             tmp = jax.lax.dot_general(
-                wy.astype(jnp.bfloat16), seg.reshape(WIN_H, PATCH_W * c),
+                wy.astype(jnp.bfloat16), seg.reshape(ru, cu * c),
                 dimension_numbers=dn, preferred_element_type=jnp.float32,
             )
-        tmp = tmp.reshape(o, PATCH_W, c)
+        tmp = tmp.reshape(o, cu, c)
         pooled = jax.lax.dot_general(
             wx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -194,8 +214,20 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, geom_ref,
 
     @pl.when(jnp.logical_not(any_sw))
     def _():
-        for k in range(MINI):
-            pool(k)
+        if len(row_pieces) == 1 and len(col_pieces) == 1:
+            for k in range(MINI):
+                pool(k)
+        else:
+            # one branch per (row, col) piece combo — per GROUP, selected by
+            # the prep-computed group-max class (sorted-by-class within each
+            # tile run, so groups are piece-uniform where the stream allows)
+            g = gcls_ref[i]
+            for ri, ru in enumerate(row_pieces):
+                for ci, cu in enumerate(col_pieces):
+                    @pl.when(g == ri * len(col_pieces) + ci)
+                    def _(ru=ru, cu=cu):
+                        for k in range(MINI):
+                            pool(k, ru, cu)
 
     @pl.when(i == n_groups - 1)
     def _():
@@ -204,10 +236,28 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, geom_ref,
         wait(rank_ref[(n_groups - 1) * MINI + MINI - 1] + 1)
 
 
+def _piece_class(nre, nce, row_pieces, col_pieces):
+    """Piece-class index of each roi: smallest (row, col) piece pair covering
+    its effective window footprint.  Plain vector math (no gathers)."""
+    zero = jnp.zeros(nre.shape, jnp.int32)
+    ri = sum((nre > p).astype(jnp.int32) for p in row_pieces[:-1]) + zero
+    ci = sum((nce > p).astype(jnp.int32) for p in col_pieces[:-1]) + zero
+    return ri, ci
+
+
+def _ncols(fgeom, output_size):
+    """Max window col the sample grid can touch (+2 covers floor+1 / ceil) —
+    the x-axis mirror of ``_prep_scalars``' nrows bound; wx columns at or
+    past this index are exactly zero."""
+    return jnp.clip(
+        jnp.ceil(fgeom[:, 1] + output_size * fgeom[:, 3]).astype(jnp.int32)
+        + 2, 1, PATCH_W)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "sampling_ratio", "interpret", "roi_chunk",
-                     "out_dtype"),
+                     "out_dtype", "row_pieces", "col_pieces"),
 )
 def pallas_roi_align_resident(
     features: Sequence[jnp.ndarray],
@@ -218,6 +268,8 @@ def pallas_roi_align_resident(
     interpret: bool | str = "auto",
     roi_chunk: int = 2048,
     out_dtype=jnp.float32,
+    row_pieces: Tuple[int, ...] = (WIN_H,),
+    col_pieces: Tuple[int, ...] = (16, 24, 32, 40, PATCH_W),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-resident multi-level RoIAlign over a flat, tile-sorted roi order.
 
@@ -238,6 +290,11 @@ def pallas_roi_align_resident(
     """
     if interpret == "auto":
         interpret = jax.default_backend() != "tpu"
+    assert row_pieces[-1] == WIN_H and col_pieces[-1] == PATCH_W, (
+        "piece lists must end at the full window (WIN_H / PATCH_W)")
+    assert (list(row_pieces) == sorted(row_pieces)
+            and list(col_pieces) == sorted(col_pieces))
+    ncls = len(row_pieces) * len(col_pieces)
     b, r = rois.shape[:2]
     c = features[0].shape[-1]
     cpad = max(0, -c % 128)
@@ -276,31 +333,52 @@ def pallas_roi_align_resident(
     # gathers on this TPU are element-throughput-bound (measured ~4 ms /
     # 44k rois for the previous 7-gather pipeline, tools/exp_sort_pack.py),
     # so the only gather kept is the [n, 4] roi rows themselves.
-    lvl, y0i, x0p, _nrows, _fg = _prep_scalars(
+    lvl, y0i, x0p, nrows_pre, fg_pre = _prep_scalars(
         flat_rois, level_shapes, spatial_scales, output_size
     )
     key, _ty, _tx = tile_sort_keys(lvl, y0i, x0p, img_idx, level_shapes[0],
                                    wide=wide)
-    # order + sorted keys in ONE single-array sort pass when (key, index)
-    # packs into int32; key < b·4·maxty·maxtx by construction.  Ties break
-    # by index == stable argsort.
+    # Secondary sort by footprint piece class WITHIN each tile run, so the
+    # kernel's MINI groups are piece-uniform where the stream allows — the
+    # per-group matmul gate then runs most groups at their true piece.
+    # Class order inside a tile is irrelevant to correctness (the gate uses
+    # the group MAX class), so overflow fallbacks may drop it freely.
+    if ncls > 1:
+        dy_pre = y0i - (y0i // 8) * 8
+        ri_p, ci_p = _piece_class(
+            jnp.minimum(dy_pre + nrows_pre, WIN_H), _ncols(fg_pre, output_size),
+            row_pieces, col_pieces)
+        cls_pre = ri_p * len(col_pieces) + ci_p
+    else:
+        cls_pre = jnp.zeros_like(key)
+    # order + sorted keys in ONE single-array sort pass when (key, class,
+    # index) packs into int32; key < b·4·maxty·maxtx by construction.  Ties
+    # break by index == stable argsort.
     idx_bits = max(1, (n - 1).bit_length())
     maxty = level_shapes[0][0] // ROW_STRIDE + 1
     maxtx = level_shapes[0][1] // col_stride + 1
-    max_packed = ((b * 4 * maxty * maxtx - 1) << idx_bits) | (n - 1)
+    max_packed = ((b * 4 * maxty * maxtx * ncls - 1) << idx_bits) | (n - 1)
     if max_packed < 2**31:
-        srt = jnp.sort((key << idx_bits) | jnp.arange(n, dtype=jnp.int32))
+        key2 = key * ncls + cls_pre
+        srt = jnp.sort((key2 << idx_bits) | jnp.arange(n, dtype=jnp.int32))
         order = (srt & ((1 << idx_bits) - 1)).astype(jnp.int32)
-        key_s = (srt >> idx_bits).astype(jnp.int32)
+        key_s = ((srt >> idx_bits) // ncls).astype(jnp.int32)
+    elif (b * 4 * maxty * maxtx * ncls) < 2**31:
+        key2 = key * ncls + cls_pre
+        order = jnp.argsort(key2, stable=True).astype(jnp.int32)
+        key_s = key2[order] // ncls
     else:
+        # class bits don't fit: sort by tile key alone (groups may mix
+        # classes — the group-max gate stays correct, just less selective)
         order = jnp.argsort(key, stable=True).astype(jnp.int32)
         key_s = key[order]
 
     rois_s = flat_rois[order]
     img_s = order // r                      # flat index = img·r + roi
-    lvl_s, y0i_s, x0p_s, _nrows, fgeom = _prep_scalars(
+    lvl_s, y0i_s, x0p_s, nrows_s, fgeom = _prep_scalars(
         rois_s, level_shapes, spatial_scales, output_size
     )
+    nce_s = _ncols(fgeom, output_size)
     # slice origin = floor8(y0i): shift the row geometry by the residual.
     # The row window is 8 rows wider than the production patch (WIN_H=48 vs
     # PATCH=40) purely to absorb this shift — out-of-contract footprints
@@ -343,13 +421,22 @@ def pallas_roi_align_resident(
     # per-rank tile source (duplicate scatters write equal values)
     ptile_rk = jnp.zeros((n,), jnp.int32).at[rank].set(ptile)
 
+    # per-roi piece class on the SORTED stream (recomputed, not gathered)
+    ri_s, ci_s = _piece_class(jnp.minimum(y0i_s - y0a + nrows_s, WIN_H),
+                              nce_s, row_pieces, col_pieces)
+
     pad = (-n) % roi_chunk
     if pad:
         edge = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                                  mode="edge")
-        rank, trow, tcol, geom_s = map(edge, (rank, trow, tcol, geom_s))
+        rank, trow, tcol, geom_s, ri_s, ci_s = map(
+            edge, (rank, trow, tcol, geom_s, ri_s, ci_s))
     npad = n + pad
     nc = npad // roi_chunk
+    # group-max piece class: every roi in a MINI group pools at (ru, cu) ≥
+    # its own piece — larger-than-needed pieces only add exact-zero terms
+    gcls = (ri_s.reshape(-1, MINI).max(1) * len(col_pieces)
+            + ci_s.reshape(-1, MINI).max(1)).astype(jnp.int32)
 
     # chunk-local ranks + per-chunk rank→tile-coord tables
     rank_c = rank.reshape(nc, roi_chunk)
@@ -368,10 +455,10 @@ def pallas_roi_align_resident(
     kernel = functools.partial(
         _res_kernel, output_size=output_size, sampling_ratio=sampling_ratio,
         n_groups=n_groups, c=c128, highest=highest, tile_w=tile_w,
-        col_stride=col_stride,
+        col_stride=col_stride, row_pieces=row_pieces, col_pieces=col_pieces,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((8, 16), lambda i, *_: (i, 0),
@@ -397,12 +484,13 @@ def pallas_roi_align_resident(
     chunk = lambda a: a.reshape((nc, roi_chunk) + a.shape[1:])
 
     def body(args):
-        rk, tr, tc, pt, nt, geom = args
-        return call(rk, tr, tc, pt, nt, geom, *f2d)
+        rk, tr, tc, pt, nt, gc, geom = args
+        return call(rk, tr, tc, pt, nt, gc, geom, *f2d)
 
     outs = jax.lax.map(
         body,
-        (rank_local, chunk(trow), chunk(tcol), ptile_c, ntl, geom_c),
+        (rank_local, chunk(trow), chunk(tcol), ptile_c, ntl,
+         gcls.reshape(nc, n_groups), geom_c),
     )
     out = outs.reshape(npad, output_size, output_size, c128)[:n]
     if cpad:

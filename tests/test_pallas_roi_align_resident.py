@@ -236,3 +236,24 @@ def test_resident_trainable_grads_match_exact():
     for a, b in zip(gr, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_resident_matmul_gate_fine_pieces():
+    """Footprint-gated pooling matmuls (per-group max piece class): exact at
+    an aggressively fine piece grid, which maximizes class mixing inside
+    MINI groups and exercises every (row, col) branch body.  Gating is
+    bit-neutral by the zero-tail invariant (wy/wx columns at or past the
+    footprint bound are exactly zero), so the oracle comparison is the same
+    as the ungated kernel's."""
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=91)]
+    rois = jnp.asarray(moderate_rois(64, seed=92))[None]
+    ref = _exact(feats, rois)
+    for rp, cp in (((8, 16, 24, 32, 40, 48), (8, 16, 24, 32, 40, 48)),
+                   ((24, 48), (48,)),
+                   ((48,), (24, 48))):
+        pooled, order = pallas_roi_align_resident(
+            feats, rois, 7, interpret=True, roi_chunk=32,
+            row_pieces=rp, col_pieces=cp)
+        got = _unsort(pooled, order).reshape(1, 64, 7, 7, -1)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"pieces {rp}/{cp}")

@@ -26,6 +26,10 @@ def main():
                     help="confine rois to one FPN tile: isolates the "
                     "resident kernel's per-roi cost (no tile switches, "
                     "constant buffer slot, one DMA) from tile logistics")
+    ap.add_argument("--pieces", default=None,
+                    help="matmul-gate pieces for the resident kernel as "
+                    "'rows/cols', e.g. '24,36,48/24,36,48'; 'off' = ungated "
+                    "(48/48); default = kernel default")
     args = ap.parse_args()
 
     import jax
@@ -38,10 +42,21 @@ def main():
     except Exception:
         pass
 
+    import functools
+
     from seam_match_rcnn_tpu.ops.pallas_roi_align import pallas_roi_align_batched
-    from seam_match_rcnn_tpu.ops.pallas_roi_align_resident import (
-        pallas_roi_align_resident,
-    )
+    from seam_match_rcnn_tpu.ops import pallas_roi_align_resident as resmod
+
+    pallas_roi_align_resident = resmod.pallas_roi_align_resident
+    if args.pieces == "off":
+        pallas_roi_align_resident = functools.partial(
+            pallas_roi_align_resident,
+            row_pieces=(resmod.WIN_H,), col_pieces=(resmod.PATCH_W,))
+    elif args.pieces:
+        rp, cp = (tuple(int(x) for x in part.split(","))
+                  for part in args.pieces.split("/"))
+        pallas_roi_align_resident = functools.partial(
+            pallas_roi_align_resident, row_pieces=rp, col_pieces=cp)
 
     rng = np.random.RandomState(0)
     b = args.batch

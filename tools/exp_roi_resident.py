@@ -119,9 +119,12 @@ def main():
         def kern(y_ref, x_ref, nr_ref, geom_ref, *rest):
             if variant in ("res_slice", "res_gated"):
                 strip_ref, f0, out_ref, patch, sem = rest
+            elif variant == "res_mm_pre":
+                strip2d_ref, wmat_ref, f0, out_ref, patch, sem = rest
             elif variant in ("res_mm", "res_mm_dynrow", "res_mm_slot",
                              "res_mm_full", "res_mm_sw", "res_mm_sw1",
-                             "res_mm_clamp", "res_mm_fastslow"):
+                             "res_mm_clamp", "res_mm_fastslow",
+                             "res_mm_rowgate", "res_mm_colgate"):
                 strip2d_ref, f0, out_ref, patch, sem = rest
             else:
                 f0, out_ref, patch, sem = rest
@@ -391,6 +394,79 @@ def main():
                     @pl.when(i == pl.num_programs(0) - 1)
                     def _():
                         _wait(nr_ref[jlast] + 1)
+                elif variant == "res_mm_pre":
+                    # res_mm_slot with PRECOMPUTED interp matrices streamed
+                    # per group through a VMEM BlockSpec: zero in-kernel VPU
+                    # construction — isolates the construction cost from the
+                    # matmul floor.
+                    x0 = pl.multiple_of(x_ref[j], 8)
+                    y0 = pl.multiple_of(y_ref[j], 8)
+                    wy48p = wmat_ref[k, 0]
+                    wxp = wmat_ref[k, 1]
+                    slot = jax.lax.rem(nr_ref[j], 2)
+                    seg = strip2d_ref[slot, pl.ds(y0, STRIP_ROWS),
+                                      pl.ds(x0 * C, PATCH_W * C)]
+                    tmp = jax.lax.dot_general(
+                        wy48p, seg, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(o, PATCH_W, C)
+                    pooled = jax.lax.dot_general(
+                        wxp.astype(jnp.float32), tmp,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[k] = jnp.swapaxes(pooled, 0, 1).astype(out_ref.dtype)
+                elif variant in ("res_mm_rowgate", "res_mm_colgate"):
+                    # per-GROUP footprint gating (one branch pair per MINI
+                    # group, class = group max of nrows): rowgate shrinks the
+                    # first matmul's K (sub-128-lane — expected ~free on the
+                    # MXU), colgate shrinks its N = cu*C lanes (the real
+                    # MXU-time dim).  Measures gate win/cost vs res_mm_slot.
+                    if k != 0:
+                        continue
+                    jbase = i * MINI
+                    gmax = nr_ref[jbase]
+                    for kk in range(1, MINI):
+                        gmax = jnp.maximum(gmax, nr_ref[jbase + kk])
+
+                    def pool_g(ru, cu):
+                        for kk in range(MINI):
+                            jj = jbase + kk
+                            x0 = pl.multiple_of(x_ref[jj], 8)
+                            y0 = pl.multiple_of(y_ref[jj], 8)
+                            wy = pra._interp_matrix(
+                                geom_ref[kk, 0], geom_ref[kk, 2],
+                                geom_ref[kk, 4], geom_ref[kk, 5],
+                                o, ratio, ru).astype(jnp.bfloat16)
+                            wx = pra._interp_matrix(
+                                geom_ref[kk, 1], geom_ref[kk, 3],
+                                geom_ref[kk, 6], geom_ref[kk, 7],
+                                o, ratio, cu)
+                            slot = jax.lax.rem(nr_ref[jj], 2)
+                            seg = strip2d_ref[slot, pl.ds(y0, ru),
+                                              pl.ds(x0 * C, cu * C)]
+                            tmp = jax.lax.dot_general(
+                                wy, seg, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32,
+                            ).reshape(o, cu, C)
+                            pooled = jax.lax.dot_general(
+                                wx.astype(jnp.float32), tmp,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            out_ref[kk] = jnp.swapaxes(pooled, 0, 1).astype(
+                                out_ref.dtype)
+
+                    if variant == "res_mm_rowgate":
+                        pl.when(gmax <= 24)(
+                            functools.partial(pool_g, 24, PATCH_W))
+                        pl.when(gmax > 24)(
+                            functools.partial(pool_g, STRIP_ROWS, PATCH_W))
+                    else:
+                        pl.when(gmax <= 24)(
+                            functools.partial(pool_g, STRIP_ROWS, 24))
+                        pl.when(gmax > 24)(
+                            functools.partial(pool_g, STRIP_ROWS, PATCH_W))
                 elif variant == "res_mm_clamp":
                     # res_mm_slot + the production resident kernel's interp
                     # matrices: 48-row wy with a DYNAMIC clamp_last bound and
@@ -467,10 +543,19 @@ def main():
                 (TALL_ROWS, W * C), lambda i, *_: (0, 0),
                 memory_space=pltpu.VMEM)]
         elif variant in ("res_mm_slot", "res_mm_full", "res_mm_sw",
-                         "res_mm_sw1", "res_mm_clamp", "res_mm_fastslow"):
+                         "res_mm_sw1", "res_mm_clamp", "res_mm_fastslow",
+                         "res_mm_rowgate", "res_mm_colgate"):
             resident_specs = [pl.BlockSpec(
                 (2, TALL_ROWS, W * C), lambda i, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM)]
+        elif variant == "res_mm_pre":
+            resident_specs = [
+                pl.BlockSpec((2, TALL_ROWS, W * C), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((MINI, 2, o, STRIP_ROWS),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_groups,),
@@ -532,7 +617,8 @@ def main():
         use_ys = ysd if base in ("combined", "dma_floor") else ys
         if base in ("res_mm_dynrow", "res_mm_slot", "res_mm_full",
                     "res_mm_sw", "res_mm_sw1", "res_mm_clamp",
-                    "res_mm_fastslow"):
+                    "res_mm_fastslow", "res_mm_pre", "res_mm_rowgate",
+                    "res_mm_colgate"):
             use_ys = ysw
         use_xs = xsd if base in ("combined", "dma_floor") else xs
         # res_mm_full: nr_ref plays the tile-RANK array — constant zeros so
@@ -548,8 +634,14 @@ def main():
         elif base == "res_mm_dynrow":
             resident = (strip_tall,)
         elif base in ("res_mm_slot", "res_mm_full", "res_mm_sw",
-                      "res_mm_sw1", "res_mm_clamp", "res_mm_fastslow"):
+                      "res_mm_sw1", "res_mm_clamp", "res_mm_fastslow",
+                      "res_mm_rowgate", "res_mm_colgate"):
             resident = (strip_tall2,)
+        elif base == "res_mm_pre":
+            wmat = jnp.asarray(
+                rng.rand(n, 2, o, STRIP_ROWS).astype(np.float32) / STRIP_ROWS,
+                jnp.bfloat16)
+            resident = (strip_tall2, wmat)
         else:
             resident = ()
         try:
