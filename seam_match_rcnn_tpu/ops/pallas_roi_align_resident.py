@@ -9,7 +9,13 @@ production 1.837 µs/roi, same session).  This kernel realizes that floor:
 
   * the FPN pyramid is cut into [TILE_H, TILE_W] = [72, 120] cell tiles on a
     [32, 72] stride grid (halo ≥ window size ⇒ every roi window, 8-aligned
-    start, lies in exactly ONE tile);
+    start, lies in exactly ONE tile); levels whose raw arrays satisfy the
+    DMA constraints directly (h ≡ 0 mod 8, h ≥ 72, w ≥ tile cols,
+    c ≡ 0 mod 128) are addressed ZERO-COPY — edge tiles clamp into bounds
+    and the per-roi geometry shifts absorb the clamp (interp weights
+    outside [0, dim-1] are exactly zero, so pad VALUES were never needed) —
+    which skips the ~1 GB/batch pyramid pad copy for P2 at serving
+    geometry; the remaining levels keep the padded layout;
   * rois are tile-sorted (XLA argsort on a flat (image, level, ty, tx) key)
     and streamed through the kernel in that order; the kernel keeps TWO tiles
     resident in VMEM (double buffer) and, at each tile switch, waits for the
@@ -92,18 +98,18 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, gcls_ref,
         """Start the DMA of the tile at (clipped) local rank rk into buffer
         rk % 2.  Ranks past the last tile re-fetch the last tile (harmless:
         its buffer is never read; the final wait below retires it).  The
-        per-rank tile source is ONE packed int32 (tx | row0/8 | lvl | img —
-        packed inline in the trace-time prep below, search "packed tile
-        table"; the bit layout here must mirror that site): gathers on this
-        TPU are element-throughput-bound, so the host prep builds/gathers
-        one table instead of four."""
+        per-rank tile source is ONE packed int32 (col0 | row0/8 | lvl |
+        img — packed inline in the trace-time prep below, search "packed
+        tile table"; the bit layout here must mirror that site): gathers on
+        this TPU are element-throughput-bound, so the host prep
+        builds/gathers one table instead of four."""
         rr = jnp.minimum(rk, nt_ref[0] - 1)
         slot = jax.lax.rem(rk, 2)
         p = ptile_ref[rr]
-        img = p >> 15
-        row0 = pl.multiple_of(((p >> 4) & 511) * 8, 8)
-        col0 = pl.multiple_of((p & 15) * (col_stride * c), 128)
-        lv = (p >> 13) & 3
+        img = p >> 20
+        row0 = pl.multiple_of(((p >> 9) & 511) * 8, 8)
+        col0 = pl.multiple_of((p & 511) * c, 128)
+        lv = (p >> 18) & 3
         for lvv, f in enumerate(refs):
             @pl.when(lv == lvv)
             def _(f=f):
@@ -151,7 +157,8 @@ def _res_kernel(rank_ref, trow_ref, tcol_ref, ptile_ref, nt_ref, gcls_ref,
                             geom_ref[k, 5], o, sampling_ratio, ru,
                             clamp_last=geom_ref[k, 8])
         wx = _interp_matrix(geom_ref[k, 1], geom_ref[k, 3], geom_ref[k, 6],
-                            geom_ref[k, 7], o, sampling_ratio, cu)
+                            geom_ref[k, 7], o, sampling_ratio, cu,
+                            clamp_last=geom_ref[k, 9])
         dn = (((1,), (0,)), ((), ()))
         if highest:
             tmp = jax.lax.dot_general(
@@ -310,20 +317,64 @@ def pallas_roi_align_resident(
     tile_w = TILE_W if wide else TILE_W_F32
     col_stride = COL_STRIDE if wide else COL_STRIDE_F32
 
-    # Padding: 1 leading cell (torchvision -1 border sample), plus exactly
-    # enough trailing rows/cols that the LAST tile of the stride grid stays
-    # in bounds: max tile start is stride·floor(dim/stride) (window starts
-    # y0i ≤ H, x0p ≤ W from _prep_scalars' clip), so the needed end is
-    # stride·floor(dim/stride) + tile.  (A full extra tile — the previous
-    # padding — re-copies ~12% more HBM bytes for nothing.)
-    padded = [
-        jnp.pad(f, ((0, 0),
-                    (1, (h // ROW_STRIDE) * ROW_STRIDE + TILE_H - (h + 1)),
-                    (1, (w // col_stride) * col_stride + tile_w - (w + 1)),
-                    (0, cpad)))
-        for f, (h, w) in zip(features, level_shapes)
-    ]
+    # Pyramid layout per level — ZERO-COPY where the raw array already
+    # supports in-bounds tile DMA, padded otherwise.
+    #
+    # The interp weights at any cell outside [0, dim-1] are EXACTLY zero
+    # (``_interp_matrix``: in_range gating + border clamping to
+    # min(hi_bound-1, clamp_last)), so padding never supplies VALUES — it
+    # only made every tile slice of the fixed stride grid in-bounds.  A
+    # level whose raw array satisfies the DMA constraints directly
+    # (row starts /8 ⇒ h ≡ 0 mod 8 and h ≥ TILE_H; w ≥ tile_w; lane offsets
+    # /128 ⇒ c ≡ 0 mod 128) skips the pad: tile starts CLAMP into bounds
+    # (r0 = min(ty·32, h-72), c0 = clip(tx·cs-1, 0, w-tile_w)) and the
+    # per-roi window origin + geometry shift absorb the clamp (see the
+    # unified A_y/A_x math below).  At serving geometry P2 alone is ~75% of
+    # the old pad's ~1 GB/batch of HBM copy traffic.
+    #
+    # Padded levels keep the old layout: 1 leading cell (the torchvision -1
+    # border sample position) + exactly enough trailing rows/cols that the
+    # last stride-grid tile stays in bounds.
+    padded, off = [], []
+    for f, (h, w) in zip(features, level_shapes):
+        if cpad == 0 and h % 8 == 0 and h >= TILE_H and w >= tile_w:
+            padded.append(f)
+            off.append(0)
+        else:
+            padded.append(jnp.pad(f, (
+                (0, 0),
+                (1, (h // ROW_STRIDE) * ROW_STRIDE + TILE_H - (h + 1)),
+                (1, (w // col_stride) * col_stride + tile_w - (w + 1)),
+                (0, cpad))))
+            off.append(1)
     f2d = [p.reshape(b, p.shape[1], p.shape[2] * c128) for p in padded]
+    # per-level array extents + lead offset, indexed by roi level below
+    off_t = jnp.asarray(off, jnp.int32)
+    harr_t = jnp.asarray([p.shape[1] for p in padded], jnp.int32)
+    warr_t = jnp.asarray([p.shape[2] for p in padded], jnp.int32)
+
+    def _window_origins(lvl, y0i, x0p):
+        """Unified window/tile origins in ARRAY-frame coordinates.
+
+        ``y0i``/``x0p`` are _prep_scalars' padded-frame starts (array index
+        of absolute cell a is a + off).  Returns (ay, ax, dyi, dxi): the
+        8-aligned window row origin, the col origin, and the int geometry
+        shifts — fgeom's patch-local coordinates (origin at absolute y0/x0)
+        move to window-local by adding dyi/dxi.  For padded levels every
+        clamp below is a proven no-op and dyi/dxi reduce to the old
+        (y0i - floor8(y0i), 0); for zero-copy levels the clamps keep the
+        window in [0, dim) while the shifted geometry keeps the sample
+        cells (all within [0, dim-1] by the zero-weight invariant) inside
+        the 48-cell window — coverage holds because floor8(y0i) ≥ y0i-7 ⇒
+        window end ≥ first cell + 40, and a clamped origin ends exactly at
+        the array's last row/col."""
+        offv = off_t[lvl]
+        ha, wa = harr_t[lvl], warr_t[lvl]
+        ay = jnp.minimum((y0i // 8) * 8, ha - WIN_H)
+        ax = jnp.minimum(x0p, wa - PATCH_W)
+        dyi = y0i - (1 - offv) - ay
+        dxi = x0p - (1 - offv) - ax
+        return ay, ax, dyi, dxi
 
     n = b * r
     flat_rois = rois.reshape(n, 4)
@@ -344,9 +395,13 @@ def pallas_roi_align_resident(
     # Class order inside a tile is irrelevant to correctness (the gate uses
     # the group MAX class), so overflow fallbacks may drop it freely.
     if ncls > 1:
-        dy_pre = y0i - (y0i // 8) * 8
+        # effective WINDOW-frame footprint: the geometry shift dyi/dxi moves
+        # the cells, so the piece bound must include it (clip ≥1 keeps the
+        # dxi = -1 lead-shift conservative-exact)
+        _ay, _ax, dyi_p, dxi_p = _window_origins(lvl, y0i, x0p)
         ri_p, ci_p = _piece_class(
-            jnp.minimum(dy_pre + nrows_pre, WIN_H), _ncols(fg_pre, output_size),
+            jnp.clip(dyi_p + nrows_pre, 1, WIN_H),
+            jnp.clip(dxi_p + _ncols(fg_pre, output_size), 1, PATCH_W),
             row_pieces, col_pieces)
         cls_pre = ri_p * len(col_pieces) + ci_p
     else:
@@ -379,40 +434,56 @@ def pallas_roi_align_resident(
         rois_s, level_shapes, spatial_scales, output_size
     )
     nce_s = _ncols(fgeom, output_size)
-    # slice origin = floor8(y0i): shift the row geometry by the residual.
+    # Window origin per roi (array frame, row 8-aligned) + geometry shift.
     # The row window is 8 rows wider than the production patch (WIN_H=48 vs
-    # PATCH=40) purely to absorb this shift — out-of-contract footprints
-    # must still CLAMP at patch row PATCH-1 exactly like the production
-    # kernel (so footprint_clamp_mask / apply_exact_fixup transfer
-    # unchanged); that per-roi dynamic clamp bound (dy + PATCH - 1) rides in
-    # geometry column 8 and feeds _interp_matrix's clamp_last.
-    y0a = (y0i_s // 8) * 8
-    dy = (y0i_s - y0a).astype(jnp.float32)
+    # PATCH=40) purely to absorb the alignment/lead shift — out-of-contract
+    # footprints must still CLAMP at patch row PATCH-1 / col PATCH_W-1
+    # exactly like the production kernel (so footprint_clamp_mask /
+    # apply_exact_fixup transfer unchanged); the per-roi dynamic clamp
+    # bounds (dy + PATCH - 1, dx + PATCH_W - 1) ride in geometry columns
+    # 8/9 and feed _interp_matrix's clamp_last.
+    ay_s, ax_s, dyi_s, dxi_s = _window_origins(lvl_s, y0i_s, x0p_s)
+    dy = dyi_s.astype(jnp.float32)
+    dx = dxi_s.astype(jnp.float32)
     fgeom = fgeom.at[:, 0].add(dy)
     fgeom = fgeom.at[:, 4].add(dy)
     fgeom = fgeom.at[:, 5].add(dy)
+    fgeom = fgeom.at[:, 1].add(dx)
+    fgeom = fgeom.at[:, 6].add(dx)
+    fgeom = fgeom.at[:, 7].add(dx)
     geom_s = jnp.concatenate(
         [fgeom, (dy + (PATCH - 1.0))[:, None],
-         jnp.zeros((fgeom.shape[0], 7), jnp.float32)], axis=1)
+         (dx + (PATCH_W - 1.0))[:, None],
+         jnp.zeros((fgeom.shape[0], 6), jnp.float32)], axis=1)
 
     _key2, ty_s, tx_s = tile_sort_keys(lvl_s, y0i_s, x0p_s, img_s,
                                        level_shapes[0], wide=wide)
-    trow = y0a - ty_s * ROW_STRIDE                 # ∈ {0, 8, 16, 24}
-    tcol = x0p_s - tx_s * col_stride               # 8-aligned, < col_stride
-    # ONE packed per-rank tile-source table (img | lvl | row0/8 | tx) —
-    # unpacked by the kernel's start().  The bit budget (4+9+2+16) is
-    # checked loudly: a bare assert would vanish under `python -O`, turning
-    # an overflow into silent DMA-source corruption (ADVICE r2).
-    if not (maxtx <= 16 and maxty * ROW_STRIDE // 8 < 512 and b < 2 ** 16):
+    # tile origins (array frame): clamped into bounds; the clamps are
+    # no-ops on padded levels (pad construction guarantees room) and keep
+    # zero-copy levels' DMA in [0, dim).  Same-key rois share (r0, c0) —
+    # both are functions of (lvl, ty, tx) — so the per-rank scatter below
+    # stays single-valued.
+    offv_s = off_t[lvl_s]
+    r0_s = jnp.minimum(ty_s * ROW_STRIDE, harr_t[lvl_s] - TILE_H)
+    c0_s = jnp.clip(tx_s * col_stride - (1 - offv_s), 0,
+                    warr_t[lvl_s] - tile_w)
+    trow = ay_s - r0_s                  # ∈ [0, 24], /8
+    tcol = ax_s - c0_s                  # ∈ [0, tile_w - PATCH_W]
+    # ONE packed per-rank tile-source table (img | lvl | row0/8 | col0) —
+    # unpacked by the kernel's start().  The bit budget (9+9+2, img gets
+    # the remaining 11) is checked loudly: a bare assert would vanish under
+    # `python -O`, turning an overflow into silent DMA-source corruption
+    # (ADVICE r2).
+    max_r08 = max((p.shape[1] - TILE_H) // 8 for p in padded)
+    max_c0 = max(p.shape[2] - tile_w for p in padded)
+    if not (max_r08 < 512 and max_c0 < 512 and b < 2 ** 11):
         raise ValueError(
             f"packed tile table overflow: level-0 shape {level_shapes[0]} "
-            f"(maxtx={maxtx} > 16 or maxty*{ROW_STRIDE}/8="
-            f"{maxty * ROW_STRIDE // 8} >= 512) or batch {b} >= 65536 — "
-            "this geometry exceeds the resident kernel's int32 tile "
-            "encoding; use roi_align_backend='pallas' (patch-DMA) or 'xla' "
-            "for it")
-    ptile = ((((img_s << 2) | lvl_s) << 9)
-             | ((ty_s * ROW_STRIDE) // 8)) << 4 | tx_s
+            f"(max row0/8 {max_r08} >= 512 or max col0 {max_c0} >= 512) or "
+            f"batch {b} >= 2048 — this geometry exceeds the resident "
+            "kernel's int32 tile encoding; use roi_align_backend='pallas' "
+            "(patch-DMA) or 'xla' for it")
+    ptile = (((((img_s << 2) | lvl_s) << 9) | (r0_s // 8)) << 9) | c0_s
 
     chg = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]])
@@ -421,9 +492,11 @@ def pallas_roi_align_resident(
     # per-rank tile source (duplicate scatters write equal values)
     ptile_rk = jnp.zeros((n,), jnp.int32).at[rank].set(ptile)
 
-    # per-roi piece class on the SORTED stream (recomputed, not gathered)
-    ri_s, ci_s = _piece_class(jnp.minimum(y0i_s - y0a + nrows_s, WIN_H),
-                              nce_s, row_pieces, col_pieces)
+    # per-roi piece class on the SORTED stream (recomputed, not gathered);
+    # WINDOW-frame extents include the geometry shift
+    ri_s, ci_s = _piece_class(jnp.clip(dyi_s + nrows_s, 1, WIN_H),
+                              jnp.clip(dxi_s + nce_s, 1, PATCH_W),
+                              row_pieces, col_pieces)
 
     pad = (-n) % roi_chunk
     if pad:

@@ -257,3 +257,51 @@ def test_resident_matmul_gate_fine_pieces():
         got = _unsort(pooled, order).reshape(1, 64, 7, 7, -1)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
                                    err_msg=f"pieces {rp}/{cp}")
+
+
+def test_resident_zero_copy_levels():
+    """Zero-copy pyramid layout: a level whose raw array already satisfies
+    the tile-DMA constraints (h % 8 == 0, h >= 72, w >= tile cols,
+    c % 128 == 0) skips the jnp.pad copy — tile starts clamp into bounds
+    and the per-roi window origin + geometry shift absorb the clamp.  The
+    fixture's level 0 (96×144) takes the zero-copy path while levels 1-3
+    pad; rois are pushed to every border (incl. x1=0 → the -1 lead sample
+    position, and bottom/right edges where both the window AND tile origins
+    clamp) and compared against the exact oracle."""
+    rng = np.random.RandomState(5)
+    shapes = [(96, 144), (48, 72), (24, 36), (12, 18)]
+    feats = [jnp.asarray(rng.randn(2, h, w, 128).astype(np.float32))
+             for h, w in shapes]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    h_img, w_img = 384, 576  # level0 * 4
+
+    # corner/edge/interior mix across all levels (area picks the level)
+    s = np.exp(rng.uniform(np.log(12.0), np.log(300.0), 120))
+    a = np.exp(rng.randn(120) * 0.3)
+    cy = rng.choice([0.0, 1.0, 383.0, 384.0], 120) + rng.randn(120) * 3
+    cx = rng.choice([0.0, 1.0, 575.0, 576.0], 120) + rng.randn(120) * 3
+    interior = rng.rand(120) < 0.5
+    cy = np.where(interior, rng.uniform(0, 384, 120), cy)
+    cx = np.where(interior, rng.uniform(0, 576, 120), cx)
+    x1 = np.clip(cx - s / np.sqrt(a) / 2, 0, w_img - 1)
+    y1 = np.clip(cy - s * np.sqrt(a) / 2, 0, h_img - 1)
+    x2 = np.clip(cx + s / np.sqrt(a) / 2, x1 + 1, w_img)
+    y2 = np.clip(cy + s * np.sqrt(a) / 2, y1 + 1, h_img)
+    rois = jnp.asarray(
+        np.stack([x1, y1, x2, y2], 1).reshape(2, 60, 4).astype(np.float32))
+
+    want = np.asarray(batched_multilevel_roi_align(
+        [jnp.asarray(f) for f in feats], rois, 7, spatial_scales=scales,
+        roi_chunk=60))
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 7, 2, scales, interpret=True, roi_chunk=64)
+    got = _unsort(pooled, order).reshape(2, 60, 7, 7, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # bf16 wide-tile variant (tile_w 120 ≥ 144? no — 144 ≥ 120 ✓ zero-copy)
+    featsb = [f.astype(jnp.bfloat16) for f in feats]
+    pooled, order = pallas_roi_align_resident(
+        featsb, rois, 7, 2, scales, interpret=True, roi_chunk=64,
+        out_dtype=jnp.float32)
+    got = _unsort(pooled, order).reshape(2, 60, 7, 7, -1)
+    np.testing.assert_allclose(got, want, rtol=0.03, atol=0.03)
