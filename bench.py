@@ -127,6 +127,11 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_PYTORCH_GPU_FPS, 3),
+        # the reference publishes NO numbers (BASELINE.md): the denominator
+        # is an assumption, surfaced here so no reader mistakes it for a
+        # measured torch-GPU run
+        "baseline_denominator": f"assumed {ASSUMED_PYTORCH_GPU_FPS} fps "
+                                "PyTorch GPU (unmeasured; BASELINE.md)",
         "roi_backend": backend,
     }
     if fallback:
