@@ -27,6 +27,11 @@ import json
 import os
 import time
 
+# Analytically derived, NOT measured (torchvision/GPU absent here): ~280
+# GFLOP/image fp32 at the reference's 4000-proposal eval config on a
+# V100/2080Ti sustaining 30-40% of fp32 peak → ~8-18 fps; 15 sits at the
+# fair-to-conservative end.  Full derivation + public cross-checks:
+# BASELINE.md "Derivation of the assumed 15 fps GPU denominator".
 ASSUMED_PYTORCH_GPU_FPS = 15.0
 BATCH = 11  # reference eval chunk (evaluate_movingfashion.py:30)
 CANVAS = (800, 1344)

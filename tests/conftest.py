@@ -22,3 +22,49 @@ if os.environ.get("SEAM_TEST_TPU") != "1":
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# Segfault guard for the persistent-cache WRITER (VERDICT r3 weak #6): one
+# full-suite run died inside ``executable.serialize()`` — native XLA code,
+# jax/_src/compilation_cache.py:265 — while writing a huge CPU train-step
+# executable.  Writes now run in a forked child: a native crash (or a
+# fork-inherited-lock deadlock, bounded by alarm) costs only that one cache
+# entry, never the suite.  Reads are untouched; CPU-platform runs only (a
+# forked child must never touch the axon TPU tunnel's socket state).
+if os.environ.get("SEAM_TEST_TPU") != "1":
+    import logging as _logging
+    import warnings as _warnings
+
+    import jax._src.compilation_cache as _cc
+
+    _orig_put = _cc.put_executable_and_time
+
+    def _fork_isolated_put(cache_key, module_name, executable, backend,
+                           compile_time):
+        with _warnings.catch_warnings():
+            # fork-in-multithreaded-process warnings (RuntimeWarning from
+            # jax, DeprecationWarning from py3.12): the child only
+            # serializes + writes one file and _exits; a fork-inherited-lock
+            # deadlock is bounded by the alarm below.
+            _warnings.simplefilter("ignore", DeprecationWarning)
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            pid = os.fork()
+        if pid == 0:
+            status = 1
+            try:
+                import signal
+
+                signal.alarm(120)
+                _orig_put(cache_key, module_name, executable, backend,
+                          compile_time)
+                status = 0
+            except BaseException:
+                pass
+            finally:
+                os._exit(status)
+        _, st = os.waitpid(pid, 0)
+        if st != 0:
+            _logging.getLogger(__name__).warning(
+                "persistent-cache write for %s skipped (child exit %s)",
+                module_name, st)
+
+    _cc.put_executable_and_time = _fork_isolated_put

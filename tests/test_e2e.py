@@ -62,6 +62,45 @@ def test_eval_movingfashion_e2e(tiny_video_model, mf_root, tmp_path):
     assert (tmp_path / "logs_mf" / "metrics.json").exists()
 
 
+def test_eval_movingfashion_device_ingest_metric_parity(
+        tiny_video_model, mf_root, tmp_path):
+    """ingest='device' (raw frames uploaded, bilinear resize + canvas
+    placement fused on device — models/transform.device_batch_images) must
+    reproduce the host-cv2 ingest's retrieval metrics on the synthetic
+    fixture (VERDICT r3 #5).  Replaces the reference's OpenCV-in-__getitem__
+    host preprocessing (/root/reference/datasets/MFDataset.py:59-97)."""
+    import json
+
+    cfg, model, variables = tiny_video_model
+    root, path = mf_root
+    ds = MovingFashionDataset(path, root=root, noise=False)
+
+    def products():
+        for k, items in enumerate(product_batches(ds, 1, 3, shuffle=False)):
+            yield {
+                "images": [items[0]["image"]] + [f["image"] for f in items[1:]],
+                "tracklet_gt": [f["tracklet"] for f in items[1:]],
+                "source": items[0]["source"],
+                "key": items[0]["key"],
+                "has_video": True,
+            }
+
+    results = {}
+    for ingest in ("host", "device"):
+        runner = InferenceRunner(model, variables, chunk=4, ingest=ingest)
+        out = str(tmp_path / f"logs_{ingest}")
+        results[ingest] = (
+            evaluate(model, variables, products(),
+                     EvalConfig(score_threshold=0.0, frames_per_product=3,
+                                first_n_withvideo=None, infer_chunk=4),
+                     runner=runner, out_dir=out),
+            json.load(open(f"{out}/metrics.json")),
+        )
+    (host_r, host_m), (dev_r, dev_m) = results["host"], results["device"]
+    assert host_r == dev_r
+    assert host_m == dev_m
+
+
 def test_eval_multidf2_e2e(tiny_video_model, tmp_path):
     from seam_match_rcnn_tpu.cli.train_multidf2 import eval_products
     from seam_match_rcnn_tpu.data import convert as conv

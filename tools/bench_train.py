@@ -29,10 +29,17 @@ def main():
                     "pallas_resident = tile-resident kernel + the same exact "
                     "adjoint, ~9x fewer forward HBM bytes)")
     ap.add_argument("--accum", action="store_true",
-                    help="time the (grad, accum, apply) triple the phase-1 "
-                    "CLI now uses (single-bucket weight 1.0) instead of the "
-                    "fused step")
+                    help="alias for --mode accum (back-compat)")
+    ap.add_argument("--mode", default="fused",
+                    choices=["fused", "accum", "linked"],
+                    help="fused = one jitted step over a single-orientation "
+                    "batch; accum = the (grad, accum, apply) triple over a "
+                    "MIXED-orientation 2-bucket batch (per-bucket weights); "
+                    "linked = steps.Phase1Trainer exact fused-batch semantics "
+                    "over the same mixed batch (VERDICT r3 #1 throughput)")
     args = ap.parse_args()
+    if args.accum:
+        args.mode = "accum"
 
     import jax
     import jax.numpy as jnp
@@ -45,11 +52,11 @@ def main():
         pass
 
     from seam_match_rcnn_tpu.config import ModelConfig, RoIHeadsConfig
-    import dataclasses
 
     from seam_match_rcnn_tpu.models.matchrcnn import init_model
     from seam_match_rcnn_tpu.train.optim import multistep_warmup_schedule, sgd
-    from seam_match_rcnn_tpu.train.steps import (create_train_state,
+    from seam_match_rcnn_tpu.train.steps import (Phase1Trainer,
+                                                 create_train_state,
                                                  make_phase1_grad_apply,
                                                  make_phase1_step)
 
@@ -60,57 +67,102 @@ def main():
     tx = sgd(multistep_warmup_schedule(0.02, (6, 9), 0.1, 1000, 1000, 1e-3),
              momentum=0.9)
     state = create_train_state(variables, tx)
-    if args.accum:
-        grad_fn, _, apply_fn = make_phase1_grad_apply(model, tx)
 
-        def step(st, batch, key):
-            g2, losses, stats = grad_fn(st, batch, key, jnp.float32(1.0))
-            return apply_fn(st, g2, stats), losses
-    else:
+    g = 8
+    rng = np.random.RandomState(0)
+
+    def make_batch(b, h, w, source0=0):
+        s = min(200, h // 2, w // 2)  # keep smoke-test geometries valid
+        x1 = rng.uniform(0, w - s, (b, g))
+        y1 = rng.uniform(0, h - s, (b, g))
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(s // 5, s, (b, g)),
+             y1 + rng.uniform(s // 5, s, (b, g))], -1).astype(np.float32)
+        return {
+            "images": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+            "sizes": jnp.asarray([[min(h, 1333), min(w, 1333)]] * b,
+                                 jnp.int32),
+            "gt": {
+                "boxes": jnp.asarray(boxes),
+                "labels": jnp.asarray(rng.randint(1, 14, (b, g))),
+                "valid": jnp.ones((b, g), bool),
+                "pair_ids": jnp.asarray(rng.randint(1, 5, (b, g))),
+                "styles": jnp.ones((b, g), jnp.int32),
+                "source": jnp.asarray(
+                    [(source0 + i) % 2 for i in range(b)], jnp.int32),
+                "mask_crops": jnp.asarray(
+                    (rng.rand(b, g, 56, 56) > 0.4).astype(np.uint8)),
+            },
+        }
+
+    b = args.batch
+    if args.mode == "fused":
+        batch = make_batch(b, args.height, args.width)
+
         step = make_phase1_step(model, tx)
 
-    b, h, w, g = args.batch, args.height, args.width, 8
-    rng = np.random.RandomState(0)
-    x1 = rng.uniform(0, w - 200, (b, g))
-    y1 = rng.uniform(0, h - 200, (b, g))
-    boxes = np.stack([x1, y1, x1 + rng.uniform(40, 200, (b, g)),
-                      y1 + rng.uniform(40, 200, (b, g))], -1).astype(np.float32)
-    batch = {
-        "images": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
-        "sizes": jnp.asarray([[h, min(w, 1333)]] * b, jnp.int32),
-        "gt": {
-            "boxes": jnp.asarray(boxes),
-            "labels": jnp.asarray(rng.randint(1, 14, (b, g))),
-            "valid": jnp.ones((b, g), bool),
-            "pair_ids": jnp.asarray(rng.randint(1, 5, (b, g))),
-            "styles": jnp.ones((b, g), jnp.int32),
-            "source": jnp.asarray([i % 2 for i in range(b)], jnp.int32),
-            "mask_crops": jnp.asarray(
-                (rng.rand(b, g, 56, 56) > 0.4).astype(np.uint8)),
-        },
-    }
+        def loop(state, batch, seeds):
+            def body(st, seed):
+                st2, losses = step(st, batch, jax.random.PRNGKey(seed))
+                return st2, losses["loss"]
+            st, losses = jax.lax.scan(body, state, seeds)
+            return st, jnp.sum(losses)
 
-    def loop(state, batch, seeds):
-        def body(st, seed):
-            st2, losses = step(st, batch, jax.random.PRNGKey(seed))
-            return st2, losses["loss"]
-        st, losses = jax.lax.scan(body, state, seeds)
-        return st, jnp.sum(losses)
+        jloop = jax.jit(loop)
+        seeds = jnp.arange(args.iters)
+        st, total = jloop(state, batch, seeds)
+        float(total)  # compile + warm
+        t0 = time.perf_counter()
+        st, total = jloop(state, batch, seeds)
+        float(total)
+        dt = time.perf_counter() - t0
+    else:
+        # Mixed-orientation 2-bucket batch: half landscape (800x1344), half
+        # portrait (1344x800) — the realistic DF2 mix the Phase1Trainer
+        # exists for.  Host-orchestrated multi-jit steps can't scan, so the
+        # loop chains states across host dispatches and fences on ONE
+        # scalar fetch at the end (async dispatch pipelines the chain).
+        b1, b2 = b - b // 2, b // 2
+        batches = [make_batch(b1, args.height, args.width),
+                   make_batch(b2, args.width, args.height, source0=1)]
 
-    jloop = jax.jit(loop)
-    seeds = jnp.arange(args.iters)
-    st, total = jloop(state, batch, seeds)
-    float(total)  # compile + warm
-    t0 = time.perf_counter()
-    st, total = jloop(state, batch, seeds)
-    float(total)
-    dt = time.perf_counter() - t0
+        if args.mode == "linked":
+            trainer = Phase1Trainer(model, tx)
+
+            def host_step(st, seed):
+                key = jax.random.PRNGKey(seed)
+                keys = list(jax.random.split(key, len(batches)))
+                return trainer.step(st, batches, keys)
+        else:
+            grad_fn, accum_fn, apply_fn = make_phase1_grad_apply(model, tx)
+            weights = [jnp.float32(bb["images"].shape[0] / b)
+                       for bb in batches]
+
+            def host_step(st, seed):
+                key = jax.random.PRNGKey(seed)
+                keys = list(jax.random.split(key, len(batches)))
+                acc, losses = None, None
+                for bb, k, wgt in zip(batches, keys, weights):
+                    gr, losses, stats = grad_fn(st, bb, k, wgt)
+                    acc = gr if acc is None else accum_fn(acc, gr)
+                return apply_fn(st, acc, stats), losses
+
+        st, losses = host_step(state, 0)
+        float(losses["loss"])  # compile + warm every geometry
+        t0 = time.perf_counter()
+        st = state
+        for i in range(args.iters):
+            st, losses = host_step(st, i)
+        float(losses["loss"])  # fence the whole chain
+        dt = time.perf_counter() - t0
 
     print(json.dumps({
         "metric": "phase1_train_step_throughput",
         "value": round(b * args.iters / dt, 3),
         "unit": "images/sec/chip",
         "step_ms": round(dt / args.iters * 1000, 1),
+        "mode": args.mode,
+        "roi_backend": args.roi_backend,
         "remat": args.remat,
     }))
 
