@@ -80,12 +80,14 @@ def build_argparser():
                         "exact adjoint backward, 1.36x step speedup; its "
                         "forward approximates only extreme-aspect outlier "
                         "boxes — see PERF.md)")
-    p.add_argument("--roi_backend", type=str, default="pallas",
+    p.add_argument("--roi_backend", type=str, default="pallas_resident",
                    choices=["pallas", "pallas_resident", "xla"],
                    help="training RoIAlign backend; both Pallas kernels "
-                        "carry a custom_vjp exact-adjoint backward "
-                        "(pallas_resident: tile-resident, ~9x fewer HBM "
-                        "bytes — see PERF.md for the train-step A/B)")
+                        "carry a custom_vjp exact-adjoint backward.  "
+                        "pallas_resident (default): tile-resident, ~9x "
+                        "fewer forward HBM bytes — measured fastest on the "
+                        "phase-1 step A/B (13.25 vs 13.13 pallas vs 9.65 "
+                        "xla images/sec/chip, PERF.md round 4)")
     return p
 
 
@@ -95,8 +97,9 @@ def main(argv=None):
     initialize_distributed()  # no-op unless SEAM_MULTIHOST=1
     args = build_argparser().parse_args(argv)
     # Phase-1 trains THROUGH RoIAlign: both Pallas backends carry a
-    # custom_vjp exact-adjoint backward; --roi_backend selects (patch-DMA
-    # default pending the resident train-step A/B, PERF.md).
+    # custom_vjp exact-adjoint backward; --roi_backend selects.  Default
+    # pallas_resident: fastest in the on-chip train-step A/B (PERF.md
+    # round 4) AND ~9x fewer forward HBM bytes (the lever on real v5e).
     from ..config import RoIHeadsConfig
 
     backend = "xla" if args.exact_roi_align else args.roi_backend

@@ -45,6 +45,21 @@ def test_evalconfig_ingest_reaches_runner(monkeypatch):
     assert captured.get("ingest") == "device"
 
 
+def test_phase1_train_roi_backend_default():
+    """Phase-1 trains through the tile-resident RoIAlign by default — the
+    choice settled by the on-chip train-step A/B (PERF.md round 4:
+    pallas_resident 13.25 > pallas 13.13 > xla 9.65 images/sec/chip), and
+    the resident forward's ~9x HBM-byte reduction is the lever on
+    production v5e.  Not a reference-table value (the reference has no
+    backend knob), hence pinned here rather than test_cli_defaults."""
+    from seam_match_rcnn_tpu.cli.train_matchrcnn import (
+        build_argparser as train_mrcnn)
+
+    a = train_mrcnn().parse_args([])
+    assert a.roi_backend == "pallas_resident"
+    assert a.exact_roi_align is False
+
+
 def test_noise_flag_parses_false():
     """type=bool in the reference makes '--noise False' parse as True
     (train_movingfashion.py:171) — documented bug, not copied: our CLIs
