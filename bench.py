@@ -41,6 +41,9 @@ ITERS = 8
 # vs ~15 exact gather (PERF.md); window semantics equal for typical boxes.
 # Override with SEAM_BENCH_ROI_BACKEND=pallas|xla for the other paths.
 ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas_resident")
+# Match/aggregator conv-trunk compute dtype (serving-tail lever, PERF.md
+# round 4).  Default f32 = reference numerics; bfloat16 for the A/B.
+TRUNK_DTYPE = os.environ.get("SEAM_BENCH_TRUNK_DTYPE", "float32")
 
 
 def main():
@@ -54,11 +57,15 @@ def main():
     except Exception:
         pass
 
-    from seam_match_rcnn_tpu.config import ModelConfig, RoIHeadsConfig
+    from seam_match_rcnn_tpu.config import (MatchHeadConfig, ModelConfig,
+                                            RoIHeadsConfig)
     from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN, init_model
 
     def build(backend):
-        cfg = ModelConfig(roi_heads=RoIHeadsConfig(roi_align_backend=backend))
+        cfg = ModelConfig(
+            roi_heads=RoIHeadsConfig(roi_align_backend=backend),
+            match=MatchHeadConfig(trunk_dtype=TRUNK_DTYPE),
+        )
         return init_model(cfg, video=True, canvas=(256, 320))
 
     def make_bench(model):
@@ -139,6 +146,8 @@ def main():
                                 "PyTorch GPU (unmeasured; BASELINE.md)",
         "roi_backend": backend,
     }
+    if TRUNK_DTYPE != "float32":
+        out["trunk_dtype"] = TRUNK_DTYPE
     if fallback:
         out["fallback"] = True
     print(json.dumps(out))

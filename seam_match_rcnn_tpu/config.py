@@ -68,12 +68,14 @@ class RoIHeadsConfig:
     canonical_scale: float = 224.0
     canonical_level: int = 4
     # "xla" (gather-based, exact), "pallas" (patch-DMA kernel, equal
-    # semantics for typical boxes), "pallas_int8" (patch DMA over a
-    # per-channel int8-quantized pyramid — halves the HBM bytes of the
-    # bandwidth-bound hot stage at ≤maxabs/254 per-channel noise; approximate
-    # serving profile), or "pallas_resident" (tile-resident kernel: shared
-    # VMEM tiles instead of per-roi HBM DMA, ~9x fewer HBM bytes, same
-    # window semantics as "pallas"; INFERENCE-ONLY — no vjp).  See PERF.md.
+    # semantics for typical boxes), "pallas_int8" (EXPERIMENTAL: patch DMA
+    # over a per-channel int8-quantized pyramid — measured retrieval deltas
+    # at/above the gate's noise floor and slower than bf16 on current TPUs;
+    # see tools/results/int8_gate_r4.json + PERF.md round 4 before using),
+    # or "pallas_resident" (tile-resident kernel: shared VMEM tiles instead
+    # of per-roi HBM DMA, ~9x fewer HBM bytes, same window semantics as
+    # "pallas", differentiable via its exact-adjoint custom_vjp — the
+    # serving AND phase-1 training default).  See PERF.md.
     roi_align_backend: str = "xla"
     # Exact-fixup escape hatch for the pallas backends: re-run up to this
     # many patch-clamped rois per image through the exact XLA kernel and
@@ -99,6 +101,12 @@ class MatchHeadConfig:
     # NLB + attention-pooling kernel (ops/pallas_kernels.nlb_aggregate;
     # interprets automatically off-TPU).
     nlb_backend: str = "xla"
+    # Compute dtype of the match/aggregator conv trunks (the reference
+    # runs them f32; descriptors, BN statistics and the pairwise scorer
+    # stay f32 regardless).  "bfloat16" halves the trunk conv time on the
+    # serving tail — opt-in until its retrieval deltas are gated like the
+    # other approximate profiles (PERF.md round 4).
+    trunk_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,10 +95,13 @@ class MatchTrunk(nn.Module):
         for i, feats in enumerate([256, 256, 256, 1024]):
             x = nn.Conv(feats, (3, 3), padding="VALID", dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.relu(x)
-        x = jnp.mean(x, axis=(1, 2))  # 6x6 avg pool -> [N, 1024]
+        # pool/linear in f32 even when the convs run bf16: the 6x6 mean and
+        # the 1024->256 projection are tiny, and the descriptor output must
+        # stay f32 for the retrieval parity contract
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # 6x6 avg pool -> [N, 1024]
         x = nn.relu(x)
-        x = nn.Dense(256, dtype=self.dtype, name="linear")(x)
-        x = MaskedBatchNorm1d(dtype=self.dtype, name="bn")(
+        x = nn.Dense(256, name="linear")(x)          # f32 (promotion)
+        x = MaskedBatchNorm1d(name="bn")(
             x.astype(jnp.float32), train=train, valid=valid
         )
         return x
@@ -212,9 +215,12 @@ class TemporalAggregator(nn.Module):
     nlb_backend: str = "xla"
 
     def setup(self):
+        # dtype governs only the conv trunk (the FLOPs); the NLB, attention
+        # pooling and pairwise scorer run on 256-d f32 descriptors — tiny
+        # compute, and they feed the parity-gated retrieval scoring.
         self.trunk = MatchTrunk(dtype=self.dtype)
-        self.nlb = NonLocalBlock1D(self.d_model, dtype=self.dtype)
-        self.attention_scorer = nn.Dense(1, dtype=self.dtype, name="attention_scorer")
+        self.nlb = NonLocalBlock1D(self.d_model, dtype=jnp.float32)
+        self.attention_scorer = nn.Dense(1, name="attention_scorer")
         self.last = PairScorer(name="last")
 
     def descriptors(self, x, train: bool = False, valid=None):

@@ -94,11 +94,16 @@ class MatchRCNN(nn.Module):
         self.mask_predictor = MaskPredictor(
             self.cfg.num_classes, dtype=dt, name="mask_predictor"
         )
-        self.match_predictor = MatchPredictor(name="match_predictor")
+        # Trunk compute dtype is a separate knob (MatchHeadConfig.trunk_dtype,
+        # default f32 = reference numerics): descriptors feed the retrieval
+        # parity gate, so they do NOT follow compute_dtype automatically.
+        tdt = jnp.dtype(self.cfg.match.trunk_dtype)
+        self.match_predictor = MatchPredictor(dtype=tdt, name="match_predictor")
         if self.video:
             self.temporal_aggregator = TemporalAggregator(
                 n_frames=self.cfg.match.n_frames,
                 nlb_backend=self.cfg.match.nlb_backend,
+                dtype=tdt,
                 name="temporal_aggregator",
             )
 
@@ -211,8 +216,12 @@ class MatchRCNN(nn.Module):
         c = self.cfg.roi_heads
         # Cap the kernel's chunk at the (static) roi count so small streams
         # (e.g. the ~100-detection mask/match branch, or single-image serve
-        # queries) aren't padded up to the 2048-roi serving default — the
-        # pad rois would be pooled for real.
+        # queries) aren't padded up to the 2048-roi serving chunk — the pad
+        # rois would be pooled for real.  2048 is the measured end-to-end
+        # optimum: chunk 4096 wins the kernel microbench (1.009 vs
+        # 1.026 µs/roi) but LOSES the full pipeline (79.30 vs 79.72 fps,
+        # back-to-back A/B — PERF.md round 4), so the microbench alone must
+        # not settle this knob.
         n = rois.shape[0] * rois.shape[1]
         chunk = min(2048, -(-n // 8) * 8)
         # trainable wrapper: identical forward; custom_vjp (exact adjoint)

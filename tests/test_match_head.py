@@ -159,3 +159,54 @@ def test_masked_bn_freezes_stats_when_all_rows_invalid():
     np.testing.assert_array_equal(
         np.asarray(mut0["batch_stats"]["var"]),
         np.asarray(variables["batch_stats"]["var"]))
+
+
+def test_trunk_dtype_knob_bf16_close_and_param_compatible():
+    """MatchHeadConfig.trunk_dtype="bfloat16" runs ONLY the 4 conv layers in
+    bf16 (PERF.md round 4 serving-tail lever); the 6x6 pool, 1024->256
+    projection, BN and descriptors stay f32.  Gate: same param tree as the
+    f32 trunk (checkpoint-converter compatibility) and descriptor drift
+    within the bf16 rounding budget on O(1) BN-normalized outputs."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(6, 14, 14, 256).astype(np.float32))
+    f32 = MatchTrunk(dtype=jnp.float32)
+    b16 = MatchTrunk(dtype=jnp.bfloat16)
+    v = f32.init(jax.random.PRNGKey(0), x, train=False)
+    v16 = b16.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.map(lambda a: (a.shape, a.dtype), v) == jax.tree.map(
+        lambda a: (a.shape, a.dtype), v16)  # params f32 either way
+    d32 = np.asarray(f32.apply(v, x, train=False))
+    d16 = np.asarray(b16.apply(v, x, train=False))
+    assert d16.dtype == np.float32
+    assert np.max(np.abs(d16 - d32)) < 0.08, np.max(np.abs(d16 - d32))
+    # descriptors are unit-scale after BN; require tight agreement in bulk
+    assert np.mean(np.abs(d16 - d32)) < 0.02
+
+
+def test_model_trunk_dtype_reaches_match_heads():
+    """ModelConfig.match.trunk_dtype threads through MatchRCNN.setup to both
+    the match predictor and the temporal aggregator trunks; the default
+    stays f32 (reference numerics — descriptor parity contract)."""
+    import dataclasses
+
+    from seam_match_rcnn_tpu.config import MatchHeadConfig, ModelConfig
+
+    assert ModelConfig().match.trunk_dtype == "float32"
+    from seam_match_rcnn_tpu.config import serving_model_config
+
+    assert serving_model_config().match.trunk_dtype == "float32"
+    cfg = dataclasses.replace(
+        ModelConfig(), match=MatchHeadConfig(trunk_dtype="bfloat16"))
+    from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN
+
+    m = MatchRCNN(cfg=cfg, video=True)
+    variables = m.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 14, 14, 256), jnp.float32),
+        method=MatchRCNN.match_descriptors,
+    )
+    bound = m.bind(variables)
+    assert bound.match_predictor.dtype == jnp.bfloat16
+    assert bound.match_predictor.trunk.dtype == jnp.bfloat16
+    assert bound.temporal_aggregator.dtype == jnp.bfloat16
+    assert bound.temporal_aggregator.trunk.dtype == jnp.bfloat16
