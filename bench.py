@@ -44,6 +44,10 @@ ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas_resident")
 # Match/aggregator conv-trunk compute dtype (serving-tail lever, PERF.md
 # round 4).  Default f32 = reference numerics; bfloat16 for the A/B.
 TRUNK_DTYPE = os.environ.get("SEAM_BENCH_TRUNK_DTYPE", "float32")
+# "parity" (reference 4000 post-NMS proposals — the headline config) or
+# "fast" (torchvision-default 1000 proposals; accuracy-gated profile,
+# PERF.md lever 1 — measured here so its advertised fps stays current).
+PROFILE = os.environ.get("SEAM_BENCH_PROFILE", "parity")
 
 
 def main():
@@ -62,10 +66,17 @@ def main():
     from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN, init_model
 
     def build(backend):
-        cfg = ModelConfig(
+        kw = dict(
             roi_heads=RoIHeadsConfig(roi_align_backend=backend),
             match=MatchHeadConfig(trunk_dtype=TRUNK_DTYPE),
         )
+        if PROFILE == "fast":
+            from seam_match_rcnn_tpu.config import RPNConfig
+
+            kw["rpn"] = RPNConfig(post_nms_top_n_test=1000)
+        elif PROFILE != "parity":
+            raise ValueError(f"unknown SEAM_BENCH_PROFILE {PROFILE!r}")
+        cfg = ModelConfig(**kw)
         return init_model(cfg, video=True, canvas=(256, 320))
 
     def make_bench(model):
@@ -148,6 +159,8 @@ def main():
     }
     if TRUNK_DTYPE != "float32":
         out["trunk_dtype"] = TRUNK_DTYPE
+    if PROFILE != "parity":
+        out["profile"] = PROFILE
     if fallback:
         out["fallback"] = True
     print(json.dumps(out))

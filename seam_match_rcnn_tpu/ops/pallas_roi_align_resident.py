@@ -68,16 +68,42 @@ WIN_H = PATCH + 8  # row window read per roi: PATCH + the ≤7-row 8-alignment
 MINI = 8           # rois per grid program (geometry block sublane alignment)
 
 
-def tile_sort_keys(lvl, y0i, x0p, img_idx, level0_shape, wide=True):
+def tile_geometry(itemsize: int, output_size: int) -> Tuple[int, int]:
+    """(tile_w, col_stride) for the resident buffers, sized to the scoped
+    16 MB VMEM limit: two [TILE_H, tile_w·C] tiles + the [MINI, o, o, C]
+    f32 out block must fit.  tile_w = col_stride + PATCH_W always (col
+    halo ≥ the 48-cell window ⇒ every roi window lies in ONE tile).
+
+    * ≤2-byte dtypes: [72, 120] @ 72 (8.9 MB of tiles at C=256).
+    * f32, output ≤ 7: [72, 96] @ 48 (14.2 MB — measured to compile,
+      test_tpu_compiled).
+    * f32, output > 7: [72, 80] @ 32 — the 4× larger out block (1.6 MB at
+      o=14, C=256) pushed the 96-wide layout to 17.04 MB > 16 scoped
+      (compile-time VMEM OOM, found by the phase-1 synthetic CLI smoke:
+      f32 compute + resident backend + mask_roi(14)); narrowing to 80
+      costs more tile DMAs only on the small f32 mask/match streams.
+    """
+    if itemsize <= 2:
+        return TILE_W, COL_STRIDE
+    if output_size <= 7:
+        return TILE_W_F32, COL_STRIDE_F32
+    return 80, 32
+
+
+def tile_sort_keys(lvl, y0i, x0p, img_idx, level0_shape, wide=True,
+                   col_stride=None):
     """Per-roi flat (image, level, tile-row, tile-col) sort key + tile coords.
 
     This IS the kernel's tile assignment (4-level FPN).  Plain array math —
     works on numpy or jnp inputs — so host-side analyses
     (tools/analyze_resident_runs.py) share it and cannot drift from the
     compiled kernel's run structure.  ``wide``: bf16 [72, 120] tiles on a
-    72-col stride; 4-byte dtypes use [72, 96] on a 48-col stride.
+    72-col stride; 4-byte dtypes use [72, 96] on a 48-col stride (or
+    [72, 80] @ 32 for >7 output sizes — pass ``col_stride`` explicitly to
+    match ``tile_geometry``).
     """
-    col_stride = COL_STRIDE if wide else COL_STRIDE_F32
+    if col_stride is None:
+        col_stride = COL_STRIDE if wide else COL_STRIDE_F32
     ty = y0i // ROW_STRIDE
     tx = x0p // col_stride
     maxty = level0_shape[0] // ROW_STRIDE + 1
@@ -291,9 +317,11 @@ def pallas_roi_align_resident(
     the weight/patch operands at the MXU like the production kernel plus one
     extra bf16 rounding of the row-pooled intermediate (|err| ≤ 2⁻⁸ rel —
     the serving profile is approximate by contract, tested ≤2e-2 abs on
-    O(1) features).  VMEM: two resident tiles — bf16 uses [72, 120·C]
-    (16.9 MB OOM at f32 C=256), f32 drops to [72, 96·C] on a 48-col stride
-    (14.2 MB at C=256; compiled-TPU-tested at C=256 in test_tpu_compiled).
+    O(1) features).  VMEM: two resident tiles sized by ``tile_geometry``
+    (bf16 [72, 120·C]; f32 [72, 96·C] @ 48-col stride, narrowing to
+    [72, 80·C] @ 32 for output sizes > 7 whose 4× larger out block would
+    blow the 16 MB scoped limit; compiled-TPU-tested at C=256 for both
+    f32 shapes in test_tpu_compiled).
     """
     if interpret == "auto":
         interpret = jax.default_backend() != "tpu"
@@ -310,12 +338,12 @@ def pallas_roi_align_resident(
     nlv = len(level_shapes)
     assert nlv == 4, "resident kernel is specialized to the 4-level FPN"
 
-    # 4-byte dtypes use the narrower tile (two resident buffers must fit
-    # the 16 MB scoped-VMEM limit at C=256; measured OOM at [72, 120·256]
-    # f32 ×2 = 16.9 MB).
-    wide = jnp.dtype(features[0].dtype).itemsize <= 2
-    tile_w = TILE_W if wide else TILE_W_F32
-    col_stride = COL_STRIDE if wide else COL_STRIDE_F32
+    # 4-byte dtypes use narrower tiles (two resident buffers + the out
+    # block must fit the 16 MB scoped-VMEM limit at C=256; see
+    # tile_geometry for the measured budgets).
+    itemsize = jnp.dtype(features[0].dtype).itemsize
+    wide = itemsize <= 2
+    tile_w, col_stride = tile_geometry(itemsize, output_size)
 
     # Pyramid layout per level — ZERO-COPY where the raw array already
     # supports in-bounds tile DMA, padded otherwise.
@@ -388,7 +416,7 @@ def pallas_roi_align_resident(
         flat_rois, level_shapes, spatial_scales, output_size
     )
     key, _ty, _tx = tile_sort_keys(lvl, y0i, x0p, img_idx, level_shapes[0],
-                                   wide=wide)
+                                   wide=wide, col_stride=col_stride)
     # Secondary sort by footprint piece class WITHIN each tile run, so the
     # kernel's MINI groups are piece-uniform where the stream allows — the
     # per-group matmul gate then runs most groups at their true piece.
@@ -457,7 +485,8 @@ def pallas_roi_align_resident(
          jnp.zeros((fgeom.shape[0], 6), jnp.float32)], axis=1)
 
     _key2, ty_s, tx_s = tile_sort_keys(lvl_s, y0i_s, x0p_s, img_s,
-                                       level_shapes[0], wide=wide)
+                                       level_shapes[0], wide=wide,
+                                       col_stride=col_stride)
     # tile origins (array frame): clamped into bounds; the clamps are
     # no-ops on padded levels (pad construction guarantees room) and keep
     # zero-copy levels' DMA in [0, dim).  Same-key rois share (r0, c0) —

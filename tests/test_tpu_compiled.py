@@ -244,3 +244,26 @@ def test_tpu_resident_roi_align_bf16():
     want = np.asarray(batched_multilevel_roi_align(
         feats32, rois, 7, roi_chunk=32)).reshape(64, 7, 7, -1)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_tpu_resident_roi_align_f32_c256_mask14():
+    """Compiled resident kernel, f32 C=256 at output_size 14 — the mask/match
+    RoI shape of the f32-compute phase-1 path.  Pins the tile_geometry VMEM
+    fix: with the [72, 96·256] f32 tiles the 4x larger out block hit a
+    compile-time scoped-VMEM OOM (17.04M > 16M — found by the synthetic
+    phase-1 CLI smoke after the resident training default flip); the
+    [72, 80·256] @ 32-stride layout must compile AND match the exact oracle."""
+    from seam_match_rcnn_tpu.ops.pallas_roi_align_resident import (
+        pallas_roi_align_resident, tile_geometry)
+    from seam_match_rcnn_tpu.ops.roi_align import batched_multilevel_roi_align
+
+    assert tile_geometry(4, 14) == (80, 32)
+    feats = [jnp.asarray(f)[None] for f in make_pyramid(seed=33, c=256)]
+    rois = jnp.asarray(moderate_rois(64, seed=34))[None]
+    pooled, order = pallas_roi_align_resident(
+        feats, rois, 14, interpret=False, roi_chunk=64)
+    got = np.empty_like(np.asarray(pooled))
+    got[np.asarray(order)] = np.asarray(pooled)
+    want = np.asarray(batched_multilevel_roi_align(
+        feats, rois, 14, roi_chunk=32)).reshape(64, 14, 14, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
