@@ -144,3 +144,28 @@ def test_seam_epoch_e2e(tiny_video_model, mf_root):
     assert int(head_state.step) >= 1
     merged = merge_head_state(variables, head_state)
     assert "temporal_aggregator" in merged["params"]
+
+
+def test_descriptor_probe_drift_helpers(tiny_video_model):
+    """tools/_synth_train.descriptor_probe + compare_probes — the
+    sub-quantum drift stats the retrieval gates report alongside top-1
+    flips (PERF.md round 4: the top-1 quantum is 1 product, so backend
+    rounding noise needs a finer instrument).  Identical backends must
+    report exactly zero drift; a perturbed descriptor set must not."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from _synth_train import compare_probes, descriptor_probe
+
+    cfg, model, variables = tiny_video_model
+    rng = np.random.RandomState(5)
+    images = [rng.rand(60, 80, 3).astype(np.float32) for _ in range(2)]
+    a = descriptor_probe(model, variables, images)
+    b = descriptor_probe(model, variables, images)
+    stats = compare_probes(a, b)
+    assert stats["n_detections"] > 0
+    assert stats["desc_max_abs"] == 0.0 and stats["score_max_abs"] == 0.0
+    b2 = dict(b, desc=b["desc"] + 0.25)
+    assert compare_probes(a, b2)["desc_max_abs"] >= 0.25
+    b3 = dict(b, desc=b["desc"][:-1])
+    assert compare_probes(a, b3)["detection_sets_diverged"] is True

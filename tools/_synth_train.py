@@ -115,3 +115,47 @@ def all_strategy_top1(out_dir):
             ks = sorted(int(k) for k in per_k)
             out[strat] = float(per_k[str(ks[0])])
     return out
+
+
+def descriptor_probe(vmodel, vv, images):
+    """Backend-drift probe at sub-quantum resolution (PERF.md round 4: the
+    top-1 gates resolve only ±1-2 product flips, so backends whose drift
+    is far below the decision boundaries still show nonzero top-1 deltas
+    from rounding noise).  Runs the serving forward on a FIXED probe image
+    list and returns the per-detection match descriptors + scores as flat
+    arrays; compare_probes() turns two backends' outputs into drift stats.
+
+    images: list of HWC float arrays (identical across backends).
+    """
+    import numpy as np
+
+    from seam_match_rcnn_tpu.eval.runner import InferenceRunner
+
+    runner = InferenceRunner(vmodel, vv, chunk=4, with_match=True,
+                             with_aggr_features=False)
+    results = runner(images)
+    desc = np.concatenate([r["match_features"] for r in results], 0)
+    scores = np.concatenate([r["scores"] for r in results], 0)
+    valid = np.concatenate([r["valid"] for r in results], 0).astype(bool)
+    return {"desc": desc[valid], "scores": scores[valid]}
+
+
+def compare_probes(a, b):
+    """Drift stats between two descriptor_probe() outputs (same probe set,
+    same detection slots — valid-count mismatch means detection sets
+    diverged, reported rather than crashed)."""
+    import numpy as np
+
+    if a["desc"].shape != b["desc"].shape:
+        return {"detection_sets_diverged": True,
+                "n_a": int(a["desc"].shape[0]), "n_b": int(b["desc"].shape[0])}
+    dd = np.abs(a["desc"] - b["desc"])
+    ds = np.abs(a["scores"] - b["scores"])
+    # pairwise self-score matrix drift: how much the (street x shop)-style
+    # score surface the eval ranks on moves between backends
+    return {
+        "desc_max_abs": float(dd.max()) if dd.size else 0.0,
+        "desc_mean_abs": float(dd.mean()) if dd.size else 0.0,
+        "score_max_abs": float(ds.max()) if ds.size else 0.0,
+        "n_detections": int(a["desc"].shape[0]),
+    }

@@ -48,7 +48,9 @@ def main():
     except Exception:
         pass
 
-    from _synth_train import all_strategy_top1, train_synthetic_phase1, video_vars
+    from _synth_train import (all_strategy_top1, compare_probes,
+                              descriptor_probe, train_synthetic_phase1,
+                              video_vars)
     from seam_match_rcnn_tpu.cli.train_movingfashion import _eval_products
     from seam_match_rcnn_tpu.cli.train_multidf2 import eval_products as mdf2_products
     from seam_match_rcnn_tpu.config import (EvalConfig, RoIHeadsConfig,
@@ -80,7 +82,16 @@ def main():
     ann = os.path.join(mroot, "annots.json")
     conv.convert(img_dir, ann_dir, ann)
 
-    results = {}
+    # fixed probe set for the sub-quantum drift stats (PERF.md round 4:
+    # top-1 flips bottom out at the ±1-product noise floor; descriptor/
+    # score drift separates backend rounding from real rank damage)
+    probe_images = []
+    for k, prod in enumerate(_eval_products(mf, args.frames, None)):
+        probe_images.extend(prod["images"])
+        if k >= 1:
+            break
+
+    results, probes = {}, {}
     for backend in args.backends:
         vcfg = serving_model_config(
             roi_heads=RoIHeadsConfig(roi_align_backend=backend))
@@ -104,10 +115,13 @@ def main():
                   out_dir=out_md)
         md_top1 = all_strategy_top1(out_md)
         results[backend] = {"mf": mf_top1, "mdf2": md_top1}
+        probes[backend] = descriptor_probe(vmodel, vv, probe_images)
         print(f"[{backend}] MF top-1: {mf_top1}")
         print(f"[{backend}] MDF2 top-1: {md_top1}")
 
     base = args.backends[0]
+    drift = {bk: compare_probes(probes[bk], probes[base])
+             for bk in args.backends[1:]}
     deltas = {
         bk: {ds: {s: results[bk][ds][s] - results[base][ds].get(s, 0.0)
                   for s in results[bk][ds]}
@@ -116,6 +130,7 @@ def main():
     }
     print("INT8VAL_JSON " + json.dumps(
         {"results": results, "deltas_vs_" + base: deltas,
+         "probe_drift_vs_" + base: drift,
          "products": args.products, "frames": args.frames}))
 
 

@@ -49,7 +49,9 @@ def main():
     except Exception:
         pass
 
-    from _synth_train import all_strategy_top1, train_synthetic_phase1, video_vars
+    from _synth_train import (all_strategy_top1, compare_probes,
+                              descriptor_probe, train_synthetic_phase1,
+                              video_vars)
     from seam_match_rcnn_tpu.cli.train_movingfashion import _eval_products
     from seam_match_rcnn_tpu.cli.train_multidf2 import eval_products as mdf2_products
     from seam_match_rcnn_tpu.config import (EvalConfig, MatchHeadConfig,
@@ -78,7 +80,14 @@ def main():
     ann = os.path.join(mroot, "annots.json")
     conv.convert(img_dir, ann_dir, ann)
 
-    results = {}
+    # fixed probe set for sub-quantum drift stats (see validate_int8.py)
+    probe_images = []
+    for k, prod in enumerate(_eval_products(mf, args.frames, None)):
+        probe_images.extend(prod["images"])
+        if k >= 1:
+            break
+
+    results, probes = {}, {}
     for dt in args.dtypes:
         vcfg = serving_model_config(
             match=MatchHeadConfig(nlb_backend="pallas", trunk_dtype=dt))
@@ -101,10 +110,13 @@ def main():
                   out_dir=out_md)
         md_top1 = all_strategy_top1(out_md)
         results[dt] = {"mf": mf_top1, "mdf2": md_top1}
+        probes[dt] = descriptor_probe(vmodel, vv, probe_images)
         print(f"[{dt}] MF top-1: {mf_top1}")
         print(f"[{dt}] MDF2 top-1: {md_top1}")
 
     base = args.dtypes[0]
+    drift = {dt: compare_probes(probes[dt], probes[base])
+             for dt in args.dtypes[1:]}
     deltas = {
         dt: {ds: {s: results[dt][ds][s] - results[base][ds].get(s, 0.0)
                   for s in results[dt][ds]}
@@ -113,6 +125,7 @@ def main():
     }
     print("TRUNKVAL_JSON " + json.dumps(
         {"results": results, "deltas_vs_" + base: deltas,
+         "probe_drift_vs_" + base: drift,
          "products": args.products, "frames": args.frames}))
 
 
