@@ -71,12 +71,16 @@ def main():
             match=MatchHeadConfig(trunk_dtype=TRUNK_DTYPE),
         )
         if PROFILE == "fast":
-            from seam_match_rcnn_tpu.config import RPNConfig
+            # one source of truth for the fast profile: the advertised fps
+            # must be measured on exactly the config the serving path
+            # offers (config.fast_eval_model_config), not a re-statement
+            from seam_match_rcnn_tpu.config import fast_eval_model_config
 
-            kw["rpn"] = RPNConfig(post_nms_top_n_test=1000)
-        elif PROFILE != "parity":
+            cfg = fast_eval_model_config(**kw)
+        elif PROFILE == "parity":
+            cfg = ModelConfig(**kw)
+        else:
             raise ValueError(f"unknown SEAM_BENCH_PROFILE {PROFILE!r}")
-        cfg = ModelConfig(**kw)
         return init_model(cfg, video=True, canvas=(256, 320))
 
     def make_bench(model):
@@ -157,6 +161,22 @@ def main():
                                 "PyTorch GPU (unmeasured; BASELINE.md)",
         "roi_backend": backend,
     }
+    # Achieved roofline numbers (VERDICT r4 #6): XLA's analytic cost model
+    # over the compiled program (whole scan = ITERS batches) divided by the
+    # measured wall time — auditable per round next to the fps.  The dev
+    # chip measures ~35 bf16 TFLOP/s / ~75 GB/s HBM (PERF.md).
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops > 0:
+            out["tflops"] = round(flops / dt / 1e12, 2)
+        if byts > 0:
+            out["hbm_gbps"] = round(byts / dt / 1e9, 2)
+    except Exception:
+        pass  # cost_analysis availability varies by backend/plugin
     if TRUNK_DTYPE != "float32":
         out["trunk_dtype"] = TRUNK_DTYPE
     if PROFILE != "parity":

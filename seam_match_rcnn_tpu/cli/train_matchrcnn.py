@@ -12,6 +12,7 @@ a latent bug, not behavior — nothing to replicate.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 import jax
@@ -20,6 +21,7 @@ import numpy as np
 
 from ..config import ModelConfig, TrainConfig, serving_model_config
 from ..data.df2 import DF2PairBatchSampler, DeepFashion2Dataset
+from ..data.prefetch import prefetch
 from ..data.transforms import Compose, RandomHorizontalFlip, ToArray
 from ..ckpt.io import (CheckpointManager, resolve_auto_resume,
                        restore_training_checkpoint)
@@ -88,6 +90,14 @@ def build_argparser():
                         "fewer forward HBM bytes — measured fastest on the "
                         "phase-1 step A/B (13.25 vs 13.13 pallas vs 9.65 "
                         "xla images/sec/chip, PERF.md round 4)")
+    p.add_argument("--prefetch_depth", type=int, default=2,
+                   help="decode-ahead depth of the threaded batch "
+                        "prefetcher (data/prefetch.py) — overlaps jpeg "
+                        "decode + mask-crop rasterization with the device "
+                        "step, replacing the reference's DataLoader "
+                        "workers (/root/reference/datasets/"
+                        "DF2Dataset.py:194-204); 0 disables (decode "
+                        "serialized with the step, for A/Bs)")
     return p
 
 
@@ -105,8 +115,12 @@ def main(argv=None):
     backend = "xla" if args.exact_roi_align else args.roi_backend
     cfg = (ModelConfig() if args.exact_roi_align else serving_model_config(
         roi_heads=RoIHeadsConfig(roi_align_backend=backend)))
+    if not args.train_full_backbone:
+        # stem+layer1 are frozen (mask below) — also cut their gradient
+        # flow so every step variant skips the dead stem/layer1 backward
+        # (config.ModelConfig.freeze_backbone_stages; exact)
+        cfg = dataclasses.replace(cfg, freeze_backbone_stages=True)
     if args.synthetic:
-        import dataclasses
         import tempfile
 
         from ..config import RPNConfig, TransformConfig
@@ -232,13 +246,22 @@ def main(argv=None):
                             "step_in_epoch": step_in_epoch,
                             "rng": np.asarray(rng)})
 
-        state, rng = train_one_epoch_matchrcnn(
-            model, state, step_fn, batches(epoch, skip), epoch, rng,
-            print_freq=tcfg.print_freq, writer=writer,
-            steps_per_epoch=steps_per_epoch, start_step=skip,
-            save_every_steps=tcfg.save_steps,
-            save_fn=save_mid if tcfg.save_steps else None,
-        )
+        # decode-ahead: jpeg load + mask-crop rasterization for batch i+1
+        # overlaps the device step on batch i (depth 0 = raw generator)
+        data = batches(epoch, skip)
+        if args.prefetch_depth > 0:
+            data = prefetch(data, depth=args.prefetch_depth)
+        try:
+            state, rng = train_one_epoch_matchrcnn(
+                model, state, step_fn, data, epoch, rng,
+                print_freq=tcfg.print_freq, writer=writer,
+                steps_per_epoch=steps_per_epoch, start_step=skip,
+                save_every_steps=tcfg.save_steps,
+                save_fn=save_mid if tcfg.save_steps else None,
+            )
+        finally:
+            if args.prefetch_depth > 0:
+                data.close()
         ckpts.maybe_save(epoch, {"state": state._asdict(), "epoch": epoch})
     ckpts.maybe_save(tcfg.epochs - 1, {"state": state._asdict(), "epoch": tcfg.epochs - 1},
                      final=True)

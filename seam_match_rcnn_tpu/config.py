@@ -143,6 +143,17 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Rematerialize backbone blocks in the backward pass (memory for FLOPs).
     remat_backbone: bool = False
+    # Stop gradients at the layer1/layer2 boundary of the backbone.  The
+    # reference's torchvision backbone freezes conv1+bn1+layer1
+    # (trainable_layers=3, /root/reference/models/matchrcnn.py:486) — the
+    # optimizer-side ``backbone_frozen_mask`` already zeroes their updates,
+    # but gradients THROUGH the stem are still computed wherever the grad
+    # and the masked update live in different jits (Phase1Trainer's linked
+    # step, the accumulation triple).  stop_gradient makes the dead stem/
+    # layer1 backward explicit so XLA drops it in every step variant.
+    # Training-semantics neutral: forward values identical, trainable-param
+    # gradients identical (tests/test_backbone_freeze.py pins both).
+    freeze_backbone_stages: bool = False
 
 
 def serving_model_config(**overrides) -> "ModelConfig":

@@ -81,7 +81,8 @@ class MatchRCNN(nn.Module):
     def setup(self):
         dt = jnp.dtype(self.cfg.compute_dtype)
         self.backbone = BackboneWithFPN(
-            dtype=dt, remat=self.cfg.remat_backbone, name="backbone"
+            dtype=dt, remat=self.cfg.remat_backbone,
+            freeze_stages=self.cfg.freeze_backbone_stages, name="backbone"
         )
         self.rpn_head = RPNHead(
             self.cfg.anchors.num_anchors_per_location, dtype=dt, name="rpn_head"
@@ -353,6 +354,7 @@ class MatchRCNN(nn.Module):
         rng: jax.Array,
         num_match_slots: int = 8,
         num_mask_slots: int = 128,
+        profile_stage: Optional[str] = None,
     ):
         """Shared phase-1 forward: detector losses as UNNORMALIZED
         (sum, denominator) parts plus the match-branch RoI exports.
@@ -363,6 +365,15 @@ class MatchRCNN(nn.Module):
         parts across buckets before dividing — ``training_losses``
         normalizes for the single fused batch; ``train_export`` hands the
         parts to train/steps.Phase1Trainer for the multi-bucket case.
+
+        ``profile_stage`` (measurement hook for tools/profile_train.py, the
+        training analogue of tools/profile_serving.py's cumulative
+        prefixes): return after the named pipeline prefix — "backbone",
+        "rpn" (adds RPN head + proposal NMS + RPN loss), "sample" (adds
+        proposal assignment/sampling, all stop-gradient), "boxbranch",
+        "mask".  None (production) runs everything.  Truncated returns are
+        (partial parts, None, None); stages that end before any loss term
+        carry a "probe" scalar so the prefix stays live under jit.
         """
         from ..losses import detection as det_losses
         from ..ops.targets import assign_and_sample
@@ -370,6 +381,9 @@ class MatchRCNN(nn.Module):
         cfg = self.cfg.roi_heads
         b = images.shape[0]
         feats = self.features(images)
+        if profile_stage == "backbone":
+            return {"probe": sum(jnp.sum(f.astype(jnp.float32))
+                                 for f in feats)}, None, None
         pq = self._quantize_pyramid(feats)
         (obj, regs), (props, _, pvalid) = self.proposals(
             feats, image_sizes, training=True
@@ -403,6 +417,8 @@ class MatchRCNN(nn.Module):
         )(obj_flat, reg_flat, gt["boxes"], gt["valid"], rpn_rngs)
         # per-image means; the batch mean is numerator/B (B known to callers)
         obj_sum, rpn_box_sum = jnp.sum(loss_obj), jnp.sum(loss_rpn_box)
+        if profile_stage == "rpn":
+            return {"obj_sum": obj_sum, "rpn_box_sum": rpn_box_sum}, None, None
 
         # --- proposal sampling (gt appended, matchrcnn.py:130-136) ------
         all_props = jnp.concatenate([props, gt["boxes"]], axis=1)
@@ -422,6 +438,9 @@ class MatchRCNN(nn.Module):
         s_labels = take(labels, s_idx)
         s_matched = take(matched, s_idx)
         s_valid = sample.valid
+        if profile_stage == "sample":
+            return {"obj_sum": obj_sum, "rpn_box_sum": rpn_box_sum,
+                    "probe": jnp.sum(s_props)}, None, None
 
         # --- box branch -------------------------------------------------
         class_logits, box_deltas = self.box_branch(feats, s_props, prequant=pq)
@@ -432,6 +451,10 @@ class MatchRCNN(nn.Module):
             flat(class_logits), flat(box_deltas), flat(s_labels),
             flat(reg_targets), flat(s_valid),
         )
+        if profile_stage == "boxbranch":
+            return {"obj_sum": obj_sum, "rpn_box_sum": rpn_box_sum,
+                    "cls_sum": cls_sum, "box_sum": box_sum,
+                    "samp_n": samp_n}, None, None
 
         # --- mask branch (positives only, matchrcnn.py:382-405) ---------
         m = min(num_mask_slots, s_props.shape[1])
@@ -449,6 +472,11 @@ class MatchRCNN(nn.Module):
         mask_sum, mask_n = det_losses.maskrcnn_loss_parts(
             mask_logits, flat(mask_t), flat(m_labels), flat(m_valid)
         )
+        if profile_stage == "mask":
+            return {"obj_sum": obj_sum, "rpn_box_sum": rpn_box_sum,
+                    "cls_sum": cls_sum, "box_sum": box_sum,
+                    "samp_n": samp_n, "mask_sum": mask_sum,
+                    "mask_n": mask_n}, None, None
 
         # --- match branch RoIs (top-iou positives, match_head.py:441-463)
         k = num_match_slots
@@ -550,6 +578,41 @@ class MatchRCNN(nn.Module):
         losses = self.det_losses_from_parts(parts, images.shape[0])
         losses["loss_match"] = self.match_loss_from_rois(mt_roi, meta)
         return losses
+
+    def profile_losses(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        gt: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        stage: str,
+    ) -> jnp.ndarray:
+        """Scalar loss over the cumulative training-pipeline prefix named by
+        ``stage`` — the measurement surface of tools/profile_train.py (the
+        phase-1 analogue of the serving stage profiler behind PERF.md's
+        breakdown tables).  ``stage="match"``/``"full"`` is exactly
+        ``sum(training_losses)``; earlier stages normalize whichever loss
+        parts exist at that prefix (same normalizers as
+        ``det_losses_from_parts``) plus a tiny probe term keeping loss-free
+        prefixes live under jit."""
+        if stage in ("match", "full"):
+            return sum(self.training_losses(images, image_sizes, gt, rng)
+                       .values())
+        parts, _, _ = self._train_core(
+            images, image_sizes, gt, rng, profile_stage=stage)
+        total = jnp.float32(0)
+        if "probe" in parts:
+            total = total + parts["probe"] * jnp.float32(1e-6)
+        if "obj_sum" in parts:
+            total = total + (parts["obj_sum"] + parts["rpn_box_sum"]) \
+                / images.shape[0]
+        if "cls_sum" in parts:
+            samp_n = jnp.maximum(parts["samp_n"], 1)
+            total = total + (parts["cls_sum"] + parts["box_sum"]) / samp_n
+        if "mask_sum" in parts:
+            total = total + parts["mask_sum"] / (
+                jnp.maximum(parts["mask_n"], 1) * (28 * 28))
+        return total
 
     def init_all(self, images, image_sizes):
         """Initialization-only forward touching every submodule (flax creates

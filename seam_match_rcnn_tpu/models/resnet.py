@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -71,6 +72,12 @@ class ResNet50(nn.Module):
     dtype: Any = jnp.float32
     block_counts: Sequence[int] = (3, 4, 6, 3)
     remat: bool = False
+    # stop_gradient at the layer1/layer2 boundary: the reference freezes
+    # stem+layer1 (torchvision trainable_layers=3); with their updates
+    # masked anyway (train/optim.backbone_frozen_mask), cutting the grad
+    # flow here lets XLA drop the whole stem/layer1 backward — exact, since
+    # no trainable parameter's gradient passes through this edge.
+    freeze_stages: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -94,6 +101,8 @@ class ResNet50(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
+            if stage == 0 and self.freeze_stages:
+                x = jax.lax.stop_gradient(x)
             outs.append(x)
             features *= 2
         return tuple(outs)
@@ -134,8 +143,11 @@ class FPN(nn.Module):
 class BackboneWithFPN(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
+    freeze_stages: bool = False
 
     @nn.compact
     def __call__(self, x):
-        c2, c3, c4, c5 = ResNet50(dtype=self.dtype, remat=self.remat, name="body")(x)
+        c2, c3, c4, c5 = ResNet50(dtype=self.dtype, remat=self.remat,
+                                  freeze_stages=self.freeze_stages,
+                                  name="body")(x)
         return FPN(dtype=self.dtype, name="fpn")([c2, c3, c4, c5])

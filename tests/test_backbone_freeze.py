@@ -88,12 +88,63 @@ def test_frozen_params_do_not_move():
 
 
 def test_cli_wires_mask_by_default():
-    """`--train_full_backbone` off (default) => masked tx; on => plain."""
+    """`--train_full_backbone` off (default) => masked tx + stop-gradient
+    stem (freeze_backbone_stages); on => plain."""
     import inspect
 
     from seam_match_rcnn_tpu.cli import train_matchrcnn as cli
 
     src = inspect.getsource(cli.main)
     assert "backbone_frozen_mask" in src
+    assert "freeze_backbone_stages=True" in src
     args = cli.build_argparser().parse_args([])
     assert args.train_full_backbone is False
+    # decode-ahead prefetch wired by default (VERDICT r4 #4); depth 0 = A/B
+    assert args.prefetch_depth == 2
+    assert "prefetch(" in src
+
+
+def test_freeze_stages_is_exact():
+    """config.freeze_backbone_stages (stop_gradient at the layer1/layer2
+    boundary — the round-5 training lever) is semantics-neutral: forward
+    losses bit-identical, TRAINABLE-param grads bit-identical, frozen
+    stem/layer1 grads exactly zero (so XLA can drop their backward in
+    every step variant, incl. the linked step whose grads and masked
+    updates live in different jits)."""
+    import dataclasses
+
+    from seam_match_rcnn_tpu.models.matchrcnn import MatchRCNN
+
+    cfg = tiny_cfg()
+    model, variables = init_model(cfg, video=False, canvas=(64, 64))
+    model_f = MatchRCNN(cfg=dataclasses.replace(
+        cfg, freeze_backbone_stages=True), video=False)
+    batch = make_batch(2)
+    rng = jax.random.PRNGKey(0)
+
+    def loss(m, params):
+        losses, _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["images"], batch["sizes"], batch["gt"], rng,
+            method=MatchRCNN.training_losses, mutable=["batch_stats"])
+        return sum(losses.values())
+
+    v0, g0 = jax.jit(lambda p: jax.value_and_grad(
+        lambda pp: loss(model, pp))(p))(variables["params"])
+    v1, g1 = jax.jit(lambda p: jax.value_and_grad(
+        lambda pp: loss(model_f, pp))(p))(variables["params"])
+    assert float(v0) == float(v1)
+
+    mask = _flat(backbone_frozen_mask(variables["params"]))
+    f0, f1 = _flat(g0), _flat(g1)
+    for k in f0:
+        a, b = np.asarray(f0[k]), np.asarray(f1[k])
+        frozen_stage = ("layer1_" in k or "['body']['conv1']" in k
+                        or "['body']['bn1']" in k)
+        if frozen_stage:
+            assert not mask[k]
+            np.testing.assert_array_equal(
+                b, np.zeros_like(b), err_msg=f"{k} grad not cut")
+        else:
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"trainable grad drifted at {k}")

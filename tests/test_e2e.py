@@ -1,6 +1,8 @@
 """End-to-end smokes on synthetic fixtures: SEAM phase-2 training epoch and
 the MovingFashion retrieval eval, with a tiny detector."""
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -154,7 +156,10 @@ def test_descriptor_probe_drift_helpers(tiny_video_model):
     report exactly zero drift; a perturbed descriptor set must not."""
     import sys
 
-    sys.path.insert(0, "tools")
+    # absolute path: the import must work when pytest runs from outside
+    # the repo root (ADVICE r4)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
     from _synth_train import compare_probes, descriptor_probe
 
     cfg, model, variables = tiny_video_model

@@ -140,6 +140,108 @@ def descriptor_probe(vmodel, vv, images):
     return {"desc": desc[valid], "scores": scores[valid]}
 
 
+def confusable_palette(products, seed=42, delta=18):
+    """Near-pair palette: products come in pairs whose colors differ by
+    ~``delta`` per channel (< the fixture's ±20 pixel noise) — the "harder
+    confusable-garment mix" of VERDICT r4 #2.  Distinguishing siblings
+    forces small retrieval margins, so backend rounding that damages ranks
+    becomes visible instead of hiding inside saturated top-1 tables."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(64, 255 - delta, ((products + 1) // 2, 3))
+    sib = np.clip(base + rng.choice([-delta, delta], base.shape), 0, 255)
+    palette = np.empty((base.shape[0] * 2, 3), np.int64)
+    palette[0::2] = base
+    palette[1::2] = sib
+    return [list(map(int, c)) for c in palette[:products]]
+
+
+def rank_margin_probe(vmodel, vv, products):
+    """Sub-quantum RANK instrument (VERDICT r4 weak #1: descriptor drift
+    alone measures rounding, not rank damage).  Runs the serving forward
+    over the full product fixture, builds the street->shop avg-descriptor
+    gallery score matrix, and returns per-product retrieval ranks AND the
+    top1-vs-runner-up score margins.  Comparing two backends' outputs
+    through ``margin_analysis`` separates rounding flips (margin below the
+    control backends' own score drift) from real rank damage (flips at
+    margins the drift cannot explain).  Scoring chain mirrored:
+    /root/reference/evaluate_movingfashion.py:94-121 (match descriptors ->
+    pairwise logits -> argsort)."""
+    import numpy as np
+
+    from seam_match_rcnn_tpu.eval.gallery import score_matrix
+    from seam_match_rcnn_tpu.eval.runner import InferenceRunner
+
+    runner = InferenceRunner(vmodel, vv, chunk=8, with_match=True,
+                             with_aggr_features=False)
+    p = vv["params"]["match_predictor"]["last"]
+    w = np.asarray(p["kernel"]).T
+    b = np.asarray(p["bias"])
+    shop, street = [], []
+    for prod in products:
+        outs = runner(prod["images"])
+        s = outs[0]
+        keep = np.nonzero(s["valid"])[0]
+        if keep.size == 0:
+            shop.append(None)
+            street.append(None)
+            continue
+        areas = (s["boxes"][keep, 2] - s["boxes"][keep, 0]) * (
+            s["boxes"][keep, 3] - s["boxes"][keep, 1])
+        shop.append(s["match_features"][keep[int(np.argmax(areas))]])
+        descs = []
+        for o in outs[1:]:
+            k2 = np.nonzero(o["valid"])[0]
+            if k2.size:
+                descs.append(
+                    o["match_features"][k2[int(np.argmax(o["scores"][k2]))]])
+        street.append(np.mean(descs, 0) if descs else None)
+    kept = [i for i in range(len(shop))
+            if shop[i] is not None and street[i] is not None]
+    if len(kept) < 2:
+        return {"kept": kept}
+    scores = np.asarray(score_matrix(
+        np.stack([street[i] for i in kept]),
+        np.stack([shop[i] for i in kept]), w, b))
+    n = len(kept)
+    ranks = np.empty((n,), np.int64)
+    margins = np.empty((n,), np.float64)
+    for r in range(n):
+        row = scores[r]
+        ranks[r] = int(np.sum(row > row[r]))  # rank of the true product
+        others = np.delete(row, r)
+        margins[r] = float(row[r] - np.max(others))
+    return {"scores": scores, "ranks": ranks, "margins": margins,
+            "kept": kept}
+
+
+def margin_analysis(base, other):
+    """Classify top-1 flips between two rank_margin_probe outputs.
+    ``score_drift_max`` between a CONTROL pair of backends sets the noise
+    bound; a flip whose |base margin| exceeds that bound is real rank
+    damage, not rounding."""
+    import numpy as np
+
+    if base.get("kept") != other.get("kept") or "ranks" not in base:
+        return {"detection_sets_diverged": True,
+                "kept_base": len(base.get("kept", [])),
+                "kept_other": len(other.get("kept", []))}
+    flips = [i for i in range(len(base["ranks"]))
+             if (base["ranks"][i] == 0) != (other["ranks"][i] == 0)]
+    return {
+        "score_drift_max": float(np.abs(base["scores"] -
+                                        other["scores"]).max()),
+        "top1_base": float((base["ranks"] == 0).mean()),
+        "top1_other": float((other["ranks"] == 0).mean()),
+        "n_products": int(len(base["ranks"])),
+        "n_flips": len(flips),
+        "flip_margins_base": [float(base["margins"][i]) for i in flips],
+        "margin_min_abs": float(np.abs(base["margins"]).min()),
+        "margin_median_abs": float(np.median(np.abs(base["margins"]))),
+    }
+
+
 def compare_probes(a, b):
     """Drift stats between two descriptor_probe() outputs (same probe set,
     same detection slots — valid-count mismatch means detection sets

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=2048)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--output-size", type=int, default=7,
+                    help="RoIAlign output size — feeds tile_geometry "
+                    "(f32 at >7 narrows the tiles to [72, 80] @ 32)")
     args = ap.parse_args()
 
     import jax
@@ -52,17 +55,20 @@ def main():
     rois = serving_roi_mix(rng, b, n)
 
     lvl, y0i, x0p, _nr, _g = _prep_scalars(
-        jnp.asarray(rois), shapes, scales, 7)
+        jnp.asarray(rois), shapes, scales, args.output_size)
     lvl, y0i, x0p = map(np.asarray, (lvl, y0i, x0p))
     img = np.repeat(np.arange(b), n)
 
     wide = args.dtype == "bfloat16"
-    tile_w = res.TILE_W if wide else res.TILE_W_F32
     itemsize = 2 if wide else 4
+    # the kernel's own geometry rule (output-size-aware since round 4: f32
+    # at >7x7 outputs narrows to [72, 80] @ 32) — reusing tile_geometry
+    # keeps this analysis from drifting when the rule changes
+    tile_w, col_stride = res.tile_geometry(itemsize, args.output_size)
 
     # the kernel's own tile assignment (shared helper — cannot drift)
     key, _ty, _tx = res.tile_sort_keys(lvl, y0i, x0p, img, shapes[0],
-                                       wide=wide)
+                                       wide=wide, col_stride=col_stride)
     key_s = np.sort(key)
 
     # dense rank + run lengths

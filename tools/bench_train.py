@@ -30,6 +30,19 @@ def main():
                     "adjoint, ~9x fewer forward HBM bytes)")
     ap.add_argument("--accum", action="store_true",
                     help="alias for --mode accum (back-compat)")
+    ap.add_argument("--mask", action="store_true",
+                    help="use the PRODUCTION optimizer masking "
+                    "(train/optim.backbone_frozen_mask: stem+layer1+FrozenBN "
+                    "affines get zero updates, like the reference's "
+                    "requires_grad filter).  Default off = historical bench "
+                    "continuity (rounds 1-4 measured the unmasked tx)")
+    ap.add_argument("--freeze", action="store_true",
+                    help="stop_gradient at the layer1/layer2 boundary "
+                    "(config.freeze_backbone_stages): XLA drops the dead "
+                    "stem/layer1 backward in EVERY step variant, including "
+                    "the linked step whose grads and masked updates live in "
+                    "different jits.  Pair with --mask for the production "
+                    "phase-1 CLI configuration")
     ap.add_argument("--mode", default="fused",
                     choices=["fused", "accum", "linked"],
                     help="fused = one jitted step over a single-orientation "
@@ -54,18 +67,22 @@ def main():
     from seam_match_rcnn_tpu.config import ModelConfig, RoIHeadsConfig
 
     from seam_match_rcnn_tpu.models.matchrcnn import init_model
-    from seam_match_rcnn_tpu.train.optim import multistep_warmup_schedule, sgd
+    from seam_match_rcnn_tpu.train.optim import (backbone_frozen_mask,
+                                                 multistep_warmup_schedule,
+                                                 sgd)
     from seam_match_rcnn_tpu.train.steps import (Phase1Trainer,
                                                  create_train_state,
                                                  make_phase1_grad_apply,
                                                  make_phase1_step)
 
     cfg = ModelConfig(remat_backbone=args.remat,
+                      freeze_backbone_stages=args.freeze,
                       roi_heads=RoIHeadsConfig(
                           roi_align_backend=args.roi_backend))
     model, variables = init_model(cfg, video=False, canvas=(256, 320))
     tx = sgd(multistep_warmup_schedule(0.02, (6, 9), 0.1, 1000, 1000, 1e-3),
-             momentum=0.9)
+             momentum=0.9,
+             trainable_mask=backbone_frozen_mask if args.mask else None)
     state = create_train_state(variables, tx)
 
     g = 8
@@ -164,6 +181,8 @@ def main():
         "mode": args.mode,
         "roi_backend": args.roi_backend,
         "remat": args.remat,
+        "mask": args.mask,
+        "freeze": args.freeze,
     }))
 
 

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=0.001)
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--confusable", action="store_true",
+                    help="near-pair palette (_synth_train.confusable_"
+                    "palette): small retrieval margins so rank damage "
+                    "can't hide inside a saturated top-1 table")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +56,9 @@ def main():
     except Exception:
         pass
 
-    from _synth_train import all_strategy_top1, train_synthetic_phase1, video_vars
+    from _synth_train import (all_strategy_top1, confusable_palette,
+                              margin_analysis, rank_margin_probe,
+                              train_synthetic_phase1, video_vars)
     from seam_match_rcnn_tpu.cli.train_movingfashion import _eval_products
     from seam_match_rcnn_tpu.config import (EvalConfig,
                                             fast_eval_model_config,
@@ -67,8 +73,11 @@ def main():
     # synthetic family; unseen colors evaluate at chance)
     palette_rng = np.random.RandomState(42)
     n_colors = max(args.products, args.eval_products)
-    palette = [list(map(int, palette_rng.randint(64, 255, 3)))
-               for _ in range(n_colors)]
+    if args.confusable:
+        palette = confusable_palette(n_colors)
+    else:
+        palette = [list(map(int, palette_rng.randint(64, 255, 3)))
+                   for _ in range(n_colors)]
     trained, palette, root = train_synthetic_phase1(
         args.products, args.epochs, args.batch, args.lr,
         palette_colors=palette)
@@ -79,25 +88,32 @@ def main():
     mf = MovingFashionDataset(mf_json, root=os.path.join(root, "mf"),
                               noise=True)
 
-    results = {}
+    results, mprobes = {}, {}
     for name, vcfg in (("serving", serving_model_config()),
                        ("fast", fast_eval_model_config())):
         vmodel, _ = init_model(vcfg, video=True,
                                canvas=vcfg.transform.landscape_canvas)
+        vv = video_vars(vcfg, trained)
         out_dir = os.path.join(root, f"logs_{name}")
         evaluate(
-            vmodel, video_vars(vcfg, trained),
+            vmodel, vv,
             _eval_products(mf, args.frames, None),
             EvalConfig(frames_per_product=args.frames, first_n_withvideo=None),
             out_dir=out_dir,
         )
         results[name] = all_strategy_top1(out_dir)
+        # full-fixture rank+margin instrument (VERDICT r4 #2)
+        mprobes[name] = rank_margin_probe(
+            vmodel, vv, _eval_products(mf, args.frames, None))
         print(f"[{name}] top-1 by strategy: {results[name]}")
 
     deltas = {k: results["fast"][k] - results["serving"][k]
               for k in results["serving"]}
     print("FASTVAL_JSON " + json.dumps(
         {"results": results, "deltas": deltas,
+         "rank_margin_fast_vs_serving": margin_analysis(
+             mprobes["serving"], mprobes["fast"]),
+         "confusable": args.confusable,
          "products": args.eval_products, "frames": args.frames}))
 
 

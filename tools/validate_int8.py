@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--backends", nargs="+",
                     default=["pallas_resident", "pallas", "pallas_int8"])
+    ap.add_argument("--confusable", action="store_true",
+                    help="near-pair palette (_synth_train.confusable_"
+                    "palette): small retrieval margins so rank damage "
+                    "can't hide inside a saturated top-1 table")
     args = ap.parse_args()
 
     import jax
@@ -49,8 +53,9 @@ def main():
         pass
 
     from _synth_train import (all_strategy_top1, compare_probes,
-                              descriptor_probe, train_synthetic_phase1,
-                              video_vars)
+                              confusable_palette, descriptor_probe,
+                              margin_analysis, rank_margin_probe,
+                              train_synthetic_phase1, video_vars)
     from seam_match_rcnn_tpu.cli.train_movingfashion import _eval_products
     from seam_match_rcnn_tpu.cli.train_multidf2 import eval_products as mdf2_products
     from seam_match_rcnn_tpu.config import (EvalConfig, RoIHeadsConfig,
@@ -64,7 +69,9 @@ def main():
     from seam_match_rcnn_tpu.models.matchrcnn import init_model
 
     trained, palette, root = train_synthetic_phase1(
-        args.products, args.epochs, args.batch, args.lr)
+        args.products, args.epochs, args.batch, args.lr,
+        palette_colors=(confusable_palette(args.products)
+                        if args.confusable else None))
 
     # ---- eval fixtures (same palette: color identity is the synthetic
     # family's retrieval signal) -------------------------------------------
@@ -91,7 +98,7 @@ def main():
         if k >= 1:
             break
 
-    results, probes = {}, {}
+    results, probes, mprobes = {}, {}, {}
     for backend in args.backends:
         vcfg = serving_model_config(
             roi_heads=RoIHeadsConfig(roi_align_backend=backend))
@@ -116,12 +123,18 @@ def main():
         md_top1 = all_strategy_top1(out_md)
         results[backend] = {"mf": mf_top1, "mdf2": md_top1}
         probes[backend] = descriptor_probe(vmodel, vv, probe_images)
+        # full-fixture rank+margin instrument (VERDICT r4 #2): separates
+        # rounding flips from real rank damage via top1/runner-up margins
+        mprobes[backend] = rank_margin_probe(
+            vmodel, vv, _eval_products(mf, args.frames, None))
         print(f"[{backend}] MF top-1: {mf_top1}")
         print(f"[{backend}] MDF2 top-1: {md_top1}")
 
     base = args.backends[0]
     drift = {bk: compare_probes(probes[bk], probes[base])
              for bk in args.backends[1:]}
+    margins = {bk: margin_analysis(mprobes[base], mprobes[bk])
+               for bk in args.backends[1:]}
     deltas = {
         bk: {ds: {s: results[bk][ds][s] - results[base][ds].get(s, 0.0)
                   for s in results[bk][ds]}
@@ -131,6 +144,8 @@ def main():
     print("INT8VAL_JSON " + json.dumps(
         {"results": results, "deltas_vs_" + base: deltas,
          "probe_drift_vs_" + base: drift,
+         "rank_margin_vs_" + base: margins,
+         "confusable": args.confusable,
          "products": args.products, "frames": args.frames}))
 
 

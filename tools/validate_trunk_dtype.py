@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--dtypes", nargs="+",
                     default=["float32", "bfloat16"])
+    ap.add_argument("--confusable", action="store_true",
+                    help="near-pair palette (_synth_train.confusable_"
+                    "palette): small retrieval margins so rank damage "
+                    "can't hide inside a saturated top-1 table")
     args = ap.parse_args()
 
     import jax
@@ -50,8 +54,9 @@ def main():
         pass
 
     from _synth_train import (all_strategy_top1, compare_probes,
-                              descriptor_probe, train_synthetic_phase1,
-                              video_vars)
+                              confusable_palette, descriptor_probe,
+                              margin_analysis, rank_margin_probe,
+                              train_synthetic_phase1, video_vars)
     from seam_match_rcnn_tpu.cli.train_movingfashion import _eval_products
     from seam_match_rcnn_tpu.cli.train_multidf2 import eval_products as mdf2_products
     from seam_match_rcnn_tpu.config import (EvalConfig, MatchHeadConfig,
@@ -66,7 +71,9 @@ def main():
     from seam_match_rcnn_tpu.models.matchrcnn import init_model
 
     trained, palette, root = train_synthetic_phase1(
-        args.products, args.epochs, args.batch, args.lr)
+        args.products, args.epochs, args.batch, args.lr,
+        palette_colors=(confusable_palette(args.products)
+                        if args.confusable else None))
 
     mf_json = make_synthetic_movingfashion(
         os.path.join(root, "mf"), n_products=args.products, n_frames=8,
@@ -87,7 +94,7 @@ def main():
         if k >= 1:
             break
 
-    results, probes = {}, {}
+    results, probes, mprobes = {}, {}, {}
     for dt in args.dtypes:
         vcfg = serving_model_config(
             match=MatchHeadConfig(nlb_backend="pallas", trunk_dtype=dt))
@@ -111,12 +118,17 @@ def main():
         md_top1 = all_strategy_top1(out_md)
         results[dt] = {"mf": mf_top1, "mdf2": md_top1}
         probes[dt] = descriptor_probe(vmodel, vv, probe_images)
+        # full-fixture rank+margin instrument (VERDICT r4 #2)
+        mprobes[dt] = rank_margin_probe(
+            vmodel, vv, _eval_products(mf, args.frames, None))
         print(f"[{dt}] MF top-1: {mf_top1}")
         print(f"[{dt}] MDF2 top-1: {md_top1}")
 
     base = args.dtypes[0]
     drift = {dt: compare_probes(probes[dt], probes[base])
              for dt in args.dtypes[1:]}
+    margins = {dt: margin_analysis(mprobes[base], mprobes[dt])
+               for dt in args.dtypes[1:]}
     deltas = {
         dt: {ds: {s: results[dt][ds][s] - results[base][ds].get(s, 0.0)
                   for s in results[dt][ds]}
@@ -126,6 +138,8 @@ def main():
     print("TRUNKVAL_JSON " + json.dumps(
         {"results": results, "deltas_vs_" + base: deltas,
          "probe_drift_vs_" + base: drift,
+         "rank_margin_vs_" + base: margins,
+         "confusable": args.confusable,
          "products": args.products, "frames": args.frames}))
 
 
