@@ -174,3 +174,50 @@ def test_descriptor_probe_drift_helpers(tiny_video_model):
     assert compare_probes(a, b2)["desc_max_abs"] >= 0.25
     b3 = dict(b, desc=b["desc"][:-1])
     assert compare_probes(a, b3)["detection_sets_diverged"] is True
+
+
+def test_rank_margin_instruments():
+    """tools/_synth_train.margin_analysis + confusable_palette — the
+    round-5 gate instruments (VERDICT r4 #2): flips are classified against
+    the base margins, and the confusable palette really produces near-pair
+    colors below the fixture noise."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
+    from _synth_train import confusable_palette, margin_analysis
+
+    pal = confusable_palette(64)
+    assert len(pal) == 64
+    arr = np.asarray(pal)
+    assert arr.min() >= 0 and arr.max() <= 255
+    # sibling pairs differ by exactly the confusion delta per channel
+    diffs = np.abs(arr[0::2] - arr[1::2])
+    assert (diffs == 18).all()
+    # distinct pairs are far apart in expectation
+    assert np.abs(arr[0] - arr[2]).max() > 18 or np.abs(
+        arr[0] - arr[4]).max() > 18
+
+    # margin_analysis: identical probes -> zero drift, zero flips
+    base = {
+        "scores": np.asarray([[2.0, 0.5, 0.1], [0.2, 1.5, 1.4],
+                              [0.3, 0.2, 0.9]]),
+        "ranks": np.asarray([0, 0, 0]),
+        "margins": np.asarray([1.5, 0.1, 0.6]),
+        "kept": [0, 1, 2],
+    }
+    same = margin_analysis(base, {k: (v.copy() if hasattr(v, "copy") else
+                                      list(v)) for k, v in base.items()})
+    assert same["n_flips"] == 0 and same["score_drift_max"] == 0.0
+    assert same["top1_base"] == 1.0
+    # a flip on the small-margin product reports its base margin
+    other = dict(base, ranks=np.asarray([0, 1, 0]),
+                 scores=base["scores"] + 0.01)
+    an = margin_analysis(base, other)
+    assert an["n_flips"] == 1
+    assert an["flip_margins_base"] == [0.1]
+    assert abs(an["score_drift_max"] - 0.01) < 1e-12
+    assert an["top1_other"] < an["top1_base"]
+    # diverged detection sets are reported, not crashed
+    div = margin_analysis(base, {"kept": [0, 1]})
+    assert div["detection_sets_diverged"] is True

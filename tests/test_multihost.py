@@ -85,4 +85,11 @@ def test_two_process_distributed(tmp_path):
         assert r["linked_param_max_delta_vs_single"] < 1e-4, r
         assert abs(r["linked_loss"] - r["linked_loss_single"]) < 1e-3 * (
             1 + abs(r["linked_loss_single"]))
+        # phase-2 SEAM head step under the 2-process mesh: equals the
+        # single-device step with the winner-on-shard-1 / excluded-product
+        # adversarial batch (VERDICT r4 #3)
+        assert r["seam_params_agree_across_processes"] is True
+        assert r["seam_param_max_delta_vs_single"] < 1e-4, r
+        assert abs(r["seam_loss"] - r["seam_loss_single"]) < 1e-3 * (
+            1 + abs(r["seam_loss_single"]))
     assert results[0]["is_main"] and not results[1]["is_main"]

@@ -109,6 +109,90 @@ def test_seam_head_step_trains():
     assert "match_predictor" in merged["params"]
 
 
+def seam_mesh_parity_batch(k_rows, p_products=4, t_frames=2, n_imgs=4,
+                           d=3, seed=2):
+    """Adversarial row layout for the mesh-parity proofs (VERDICT r4 #3),
+    shared by this test, tests/_multihost_worker.py and
+    __graft_entry__.dryrun_multichip: the slot-0 winner of product 0 lives
+    on the LAST shard (its only street rows are the final two), product 3
+    is excluded (shop_row -1), same-slot rows compete across shards, and
+    row 13..k-3 are invalid padding.  k_rows must be >= 16."""
+    rng = np.random.RandomState(seed)
+    valid = np.ones((k_rows,), bool)
+    types = np.zeros((k_rows,), np.int32)
+    prod = np.zeros((k_rows,), np.int32)
+    img_slot = np.zeros((k_rows,), np.int32)
+    types[0:3] = 1
+    prod[0:3] = [0, 1, 2]
+    shop_row = np.asarray([0, 1, 2, -1], np.int32)
+    for r, p, slot in ((3, 3, 6), (4, 1, 2), (5, 1, 2), (6, 1, 3),
+                       (7, 2, 4), (8, 2, 5), (9, 2, 4), (10, 3, 7),
+                       (11, 1, 3), (12, 2, 5)):
+        prod[r], img_slot[r] = p, slot
+    valid[13:k_rows - 2] = False
+    prod[k_rows - 2:] = 0
+    img_slot[k_rows - 2], img_slot[k_rows - 1] = 0, 1
+    rows = np.arange(k_rows)
+    return {
+        "row_img": jnp.asarray(rows % n_imgs, jnp.int32),
+        "row_det": jnp.asarray(rows % d, jnp.int32),
+        "valid": jnp.asarray(valid),
+        "types": jnp.asarray(types),
+        "prod": jnp.asarray(prod),
+        "img_slot": jnp.asarray(img_slot),
+        "shop_row": jnp.asarray(shop_row),
+        "roi_src": jnp.asarray(
+            rng.rand(n_imgs, d, 14, 14, 256).astype(np.float32)),
+        "aggr_weight": jnp.asarray(1.0, jnp.float32),
+    }
+
+
+def test_seam_head_step_mesh_parity_bitlevel():
+    """make_seam_head_step under the 8-device 'data' mesh == the
+    single-device step, to float-assoc tolerance (the phase-1 standard,
+    tests/_multihost_worker.py:97-208) — the weak-label argmax/segment-op
+    winner selection spans DP-sharded rows (train/seam.py:158-228), which
+    is exactly where sharding could silently diverge.  Reference
+    semantics replaced: /root/reference/stuffs/engine.py:120-198."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from seam_match_rcnn_tpu.parallel.mesh import make_mesh, replicate
+
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        import pytest
+
+        pytest.skip("needs >= 2 devices")
+    variables = init_head_variables()
+    tx = sgd(lambda s: 0.01, momentum=0.9)
+    state = create_head_state(variables, tx)
+    step = make_seam_head_step(tx, frames_per_product=2, n_frames=2)
+    batch = seam_mesh_parity_batch(k_rows=16)
+
+    ref_state, ref_losses = step(state, batch)
+
+    mesh = make_mesh(data=n, model=1)
+    sharded = dict(batch)
+    for k in ("row_img", "row_det", "valid", "types", "prod", "img_slot"):
+        sharded[k] = jax.device_put(batch[k], NamedSharding(mesh, P("data")))
+    sharded["roi_src"] = jax.device_put(batch["roi_src"],
+                                        NamedSharding(mesh, P()))
+    mesh_state, mesh_losses = step(replicate(state, mesh), sharded)
+
+    assert np.isfinite(float(mesh_losses["loss"]))
+    delta = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree.leaves(mesh_state.params),
+                        jax.tree.leaves(ref_state.params)))
+    assert delta < 1e-4, f"mesh vs single-device param delta {delta}"
+    assert abs(float(mesh_losses["loss"]) - float(ref_losses["loss"])) \
+        < 1e-5 * (1 + abs(float(ref_losses["loss"])))
+    # the adversarial structure actually bites: product 0's winner rows
+    # are on the last shard, product 3 is excluded
+    assert int(batch["shop_row"][3]) == -1
+    assert np.all(np.asarray(batch["prod"][-2:]) == 0)
+
+
 def test_mdf2_head_step_only_aggregator_trains():
     # weight_decay at the phase-2 default: add_decayed_weights must not
     # leak past the zeroed grads into the frozen match predictor (torch SGD
