@@ -111,14 +111,18 @@ def main():
         out_ref[:] = acc
 
     # Case 0: matmul-only floor (no im2col): [17*672, 192] @ [192, 64]
+    # approximated as 12 x [1024, 192] @ [192, 64] accumulations (the full
+    # block reshaped; bytes/FLOPs-equivalent matmul cost, no construction)
     def k_floor(x_ref, w_ref, out_ref):
-        y = x_ref[:CONVR, :].reshape(CONVR * 8192 // 192 * 0 + CONVR, 8192)
-        # fake im2col: just slice a [17*672, 192]-sized chunk via reshape of
-        # the full block (bytes-equivalent matmul cost)
-        big = x_ref[:, :].reshape(ROWS * LANES // 192, 192)[: CONVR * W2]
-        out_ref[:] = jax.lax.dot_general(
-            big, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(CONVR, W2, 64)
+        big = x_ref[:, :].reshape(ROWS * LANES // 192, 192)  # [1024, 192]
+        acc = jnp.zeros((1024, 64), jnp.float32)
+        for t in range(12):
+            # scale breaks CSE so 12 distinct matmuls actually issue
+            acc = acc + jax.lax.dot_general(
+                big * jnp.bfloat16(1 + t), w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[:] = acc
 
     run_case("floor_matmul_only", k_floor, (CONVR, W2, 64))
     run_case("reshape_16xK12", k_reshape, (CONVR, W2, 64))
@@ -198,7 +202,9 @@ def main():
                     w_ref[kx], slab,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [64, 704]
-                u = pltpu.roll(u, -kx, 1) if kx else u
+                # pltpu.roll requires non-negative shifts: left-shift by kx
+                # == cyclic right-shift by (lanes - kx)
+                u = pltpu.roll(u, LANES704 - kx, 1) if kx else u
                 acc = u if acc is None else acc + u
             rows.append(acc)
         return rows
@@ -218,8 +224,8 @@ def main():
         for py in range(8):
             m = jnp.maximum(jnp.maximum(rows[2 * py], rows[2 * py + 1]),
                             rows[2 * py + 2])
-            m = jnp.maximum(jnp.maximum(m, pltpu.roll(m, -1, 1)),
-                            pltpu.roll(m, -2, 1))
+            m = jnp.maximum(jnp.maximum(m, pltpu.roll(m, LANES704 - 1, 1)),
+                            pltpu.roll(m, LANES704 - 2, 1))
             out_ref[py] = jax.lax.dot_general(
                 m.astype(jnp.bfloat16), s2_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
