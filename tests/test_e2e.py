@@ -193,10 +193,10 @@ def test_rank_margin_instruments():
     assert arr.min() >= 0 and arr.max() <= 255
     # sibling pairs differ by exactly the confusion delta per channel
     diffs = np.abs(arr[0::2] - arr[1::2])
-    assert (diffs == 18).all()
+    assert (diffs == 40).all()
     # distinct pairs are far apart in expectation
-    assert np.abs(arr[0] - arr[2]).max() > 18 or np.abs(
-        arr[0] - arr[4]).max() > 18
+    assert np.abs(arr[0] - arr[2]).max() > 40 or np.abs(
+        arr[0] - arr[4]).max() > 40
 
     # margin_analysis: identical probes -> zero drift, zero flips
     base = {

@@ -48,9 +48,10 @@ def test_two_process_distributed(tmp_path):
     for p in procs:
         try:
             # generous: each worker also compiles the DP + fused train
-            # steps AND the linked Phase1Trainer programs (export/match-grad/
-            # linked-grad per canvas) on this 1-core host
-            out, _ = p.communicate(timeout=2700)
+            # steps, the linked Phase1Trainer programs (export/match-grad/
+            # linked-grad per canvas) AND the SEAM head-step parity pair on
+            # this 1-core host — often alongside an on-chip queue's host work
+            out, _ = p.communicate(timeout=3600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

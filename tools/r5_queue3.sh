@@ -26,4 +26,9 @@ run adjoint_pallas python tools/bench_adjoint.py --backend pallas
 # fused-stem constructions, take 2 (roll sign fixed)
 run stem_probe2    python tools/exp_stem_im2col.py
 
+# int8/control gate RESCUE at the recalibrated confusable delta (the
+# delta-18 run in queue2 measured top-1 == 0 on every strategy — no
+# instrument signal; see _synth_train.confusable_palette docstring)
+run int8_64r       python tools/validate_int8.py --products 64 --confusable
+
 echo "=== queue done $(date +%H:%M:%S)" >> "$SUMMARY"
