@@ -122,8 +122,11 @@ def _adj_kernel(tile_ref, roi_ref, tlvl_ref, tdr_ref, tdc_ref, tr0_ref,
         so serial ~16 us writes cost ~2 ms; double-buffering is the
         follow-up lever if profiles show it)."""
         lv = tlvl_ref[prev]
-        dr = tdr_ref[prev]
-        dc = tdc_ref[prev] * c
+        # destinations are OWN-aligned by construction (_tile_tables);
+        # Mosaic requires the divisibility stated explicitly for dynamic
+        # offsets (same pattern as the forward kernel's trow/tcol)
+        dr = pl.multiple_of(tdr_ref[prev], 8)
+        dc = pl.multiple_of(tdc_ref[prev] * c, 128)
         for lvv, oref in enumerate(outs):
             @pl.when(lv == lvv)
             def _(oref=oref):
@@ -150,11 +153,16 @@ def _adj_kernel(tile_ref, roi_ref, tlvl_ref, tdr_ref, tdc_ref, tr0_ref,
         def _():
             acc[...] = jnp.zeros((OWN, OWN * c), jnp.float32)
 
+        # drain the instance's g-DMA UNCONDITIONALLY: every program issues
+        # MINI copies up-front, so every semaphore must be waited exactly
+        # once per program or the kernel exits with nonzero semaphores
+        # (skip/cover instances fetched roi 0 — the value is unused)
+        pltpu.make_async_copy(
+            g_ref.at[jnp.maximum(roi_ref[j], 0)], gbuf.at[k],
+            gsem.at[k]).wait()
+
         @pl.when(jnp.logical_and(roi_ref[j] >= 0, tid < n_tiles))
         def _():
-            pltpu.make_async_copy(
-                g_ref.at[jnp.maximum(roi_ref[j], 0)], gbuf.at[k],
-                gsem.at[k]).wait()
             r0 = tr0_ref[tid].astype(jnp.float32)
             c0 = tc0_ref[tid].astype(jnp.float32)
             wy = _band_interp_matrix(
@@ -163,8 +171,15 @@ def _adj_kernel(tile_ref, roi_ref, tlvl_ref, tdr_ref, tdc_ref, tr0_ref,
             wx = _band_interp_matrix(
                 geom_ref[k, 2], geom_ref[k, 3], geom_ref[k, 5], c0,
                 o, sampling_ratio)
-            g3 = gbuf[k].reshape(o, o, c)
-            # u[x_cell, oy, c] = sum_ox wx[ox, x_cell] * g[oy, ox, c]
+            # g rows are padded o*o -> o_pad*o (zeros; Mosaic DMA sublane
+            # extents must be 8-aligned): view as [o_pad, o, c] where rows
+            # oy >= o are zero, and pad wy with matching zero rows — the
+            # extra contraction terms are exactly zero.
+            o_pad = gbuf.shape[1] // o
+            g3 = gbuf[k].reshape(o_pad, o, c)
+            wy = jnp.concatenate(
+                [wy, jnp.zeros((o_pad - o, OWN), jnp.float32)], axis=0)
+            # u[x_cell, oy_pad, c] = sum_ox wx[ox, x_cell] * g[oy, ox, c]
             u = jax.lax.dot_general(
                 wx, g3, dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -243,7 +258,15 @@ def multilevel_roi_align_adjoint_pallas(
     n = b * nr
     rois_f = rois.reshape(n, 4).astype(jnp.float32)
     img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nr)
+    # pad the flattened o*o sample rows so the per-instance DMA's sublane
+    # extent is 8-aligned (o=7 -> 8x7=56 rows, o=14 -> 16x14=224); the
+    # kernel folds the zero rows into the wy contraction
+    o_pad = o
+    while (o_pad * o) % 8:
+        o_pad += 1
     g2 = g.reshape(n, o * o, cc).astype(jnp.float32)
+    if o_pad > o:
+        g2 = jnp.pad(g2, ((0, 0), (0, (o_pad - o) * o), (0, 0)))
 
     (tlvl, tdr, tdc, tr0, tc0), (base, nty, ntx, hp_l, wp_l) = \
         _tile_tables(level_shapes, b)
@@ -329,7 +352,7 @@ def multilevel_roi_align_adjoint_pallas(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         scratch_shapes=[
             pltpu.VMEM((OWN, OWN * cc), jnp.float32),
-            pltpu.VMEM((MINI, o * o, cc), jnp.float32),
+            pltpu.VMEM((MINI, o_pad * o, cc), jnp.float32),
             pltpu.SemaphoreType.DMA((MINI,)),
             pltpu.SemaphoreType.DMA,
         ],
