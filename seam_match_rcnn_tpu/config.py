@@ -77,6 +77,15 @@ class RoIHeadsConfig:
     # "pallas", differentiable via its exact-adjoint custom_vjp — the
     # serving AND phase-1 training default).  See PERF.md.
     roi_align_backend: str = "xla"
+    # RoIAlign BACKWARD implementation for the trainable Pallas backends:
+    # "xla" (the exact scatter-add adjoint, ops/roi_align.multilevel_
+    # roi_align_adjoint) or "pallas" (the tile-resident adjoint kernel,
+    # ops/pallas_roi_adjoint.py — VMEM-accumulated window gradients, one
+    # HBM write per ownership tile; matches the exact adjoint for every
+    # footprint within its 2x2-band neighborhood and measured 51+41 ->
+    # see PERF.md round 5 for the A/B).  Ignored by the "xla" forward
+    # backend (jax transposes the exact forward itself).
+    roi_adjoint_backend: str = "xla"
     # Exact-fixup escape hatch for the pallas backends: re-run up to this
     # many patch-clamped rois per image through the exact XLA kernel and
     # scatter the results back (ops/pallas_roi_align.apply_exact_fixup).

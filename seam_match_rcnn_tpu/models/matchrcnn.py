@@ -163,15 +163,17 @@ class MatchRCNN(nn.Module):
             )
 
         if c.roi_align_backend == "pallas":
-            # differentiable: pallas forward, exact XLA adjoint backward.
-            # out_dtype = the compute dtype: the kernel rounds at its store
-            # instead of a separate full-size cast op (identical values,
-            # half the HBM traffic on the 4000-roi serving box branch).
+            # differentiable: pallas forward, exact adjoint backward
+            # (c.roi_adjoint_backend selects scatter-add vs the resident
+            # adjoint kernel).  out_dtype = the compute dtype: the kernel
+            # rounds at its store instead of a separate full-size cast op
+            # (identical values, half the HBM traffic on the 4000-roi
+            # serving box branch).
             from ..ops.pallas_roi_align import pallas_roi_align_trainable
 
             return fixup(pallas_roi_align_trainable(
                 tuple(feats[:4]), rois, output_size, c.sampling_ratio,
-                jnp.dtype(feats[0].dtype),
+                jnp.dtype(feats[0].dtype), c.roi_adjoint_backend,
             ))
         if c.roi_align_backend == "pallas_int8":
             from ..ops.pallas_roi_align import pallas_roi_align_batched
@@ -225,11 +227,12 @@ class MatchRCNN(nn.Module):
         # not settle this knob.
         n = rois.shape[0] * rois.shape[1]
         chunk = min(2048, -(-n // 8) * 8)
-        # trainable wrapper: identical forward; custom_vjp (exact adjoint)
-        # makes the resident backend usable in phase-1 training
+        # trainable wrapper: identical forward; custom_vjp (exact adjoint,
+        # c.roi_adjoint_backend selects scatter-add vs the resident
+        # adjoint kernel) makes the resident backend usable in phase-1
         return pallas_roi_align_resident_trainable(
             tuple(feats[:4]), rois, output_size, c.sampling_ratio,
-            chunk, jnp.dtype(feats[0].dtype),
+            chunk, jnp.dtype(feats[0].dtype), c.roi_adjoint_backend,
         )
 
     def box_roi(self, feats, rois, prequant=None):

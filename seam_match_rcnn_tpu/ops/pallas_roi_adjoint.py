@@ -239,15 +239,21 @@ def multilevel_roi_align_adjoint_pallas(
     spatial_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125),
     canonical_scale: float = 224.0,
     canonical_level: int = 4,
-    interpret: bool = False,
+    interpret: bool | str = "auto",
 ) -> Tuple[jnp.ndarray, ...]:
     """Batched resident-tile adjoint: g [B, R, o, o, C] f32 cotangents,
     rois [B, R, 4] -> per-level [B, H, W, C] f32 feature gradients.
+
+    interpret="auto" compiles on TPU and falls back to interpret mode on
+    other backends (the repo-wide pallas pattern), so the trainable
+    wrappers' CPU tests exercise the same code path.
 
     See module docstring for the semantics contract vs the exact
     ``multilevel_roi_align_adjoint`` (bit-matching summands; f32
     accumulation order differs, and >2-band outlier tails drop).
     """
+    if interpret == "auto":
+        interpret = jax.default_backend() != "tpu"
     b, nr = rois.shape[:2]
     o = output_size
     c = g.shape[-1]

@@ -548,17 +548,20 @@ def apply_exact_fixup(
         jnp.where(sel, exact, cur))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def pallas_roi_align_trainable(features, rois, output_size, sampling_ratio,
-                               out_dtype=jnp.float32):
-    """Differentiable wrapper: Pallas patch-DMA forward + the EXACT adjoint
-    of the XLA gather implementation as backward.  RoIAlign is linear in
-    ``features`` for fixed rois, so its vjp is a fixed transpose
-    (scatter-add) independent of the forward's values —
-    ``jax.linear_transpose`` of the exact path computes it without running
-    the forward.  Gradients therefore match the exact kernel everywhere the
-    two forwards agree (all footprints within the patch window).  No grad
-    w.r.t. rois, like the detached proposals of the reference pipeline.
+                               out_dtype=jnp.float32, adjoint="xla"):
+    """Differentiable wrapper: Pallas patch-DMA forward + an EXACT adjoint
+    as backward.  RoIAlign is linear in ``features`` for fixed rois, so
+    its vjp is a fixed transpose (scatter-add) independent of the
+    forward's values.  Gradients therefore match the exact kernel
+    everywhere the two forwards agree (all footprints within the patch
+    window).  No grad w.r.t. rois, like the detached proposals of the
+    reference pipeline.
+
+    ``adjoint``: "xla" (scatter-add, ops/roi_align) or "pallas" (the
+    tile-resident adjoint kernel, ops/pallas_roi_adjoint; see PERF.md
+    round 5 and RoIHeadsConfig.roi_adjoint_backend).
 
     features: TUPLE of per-level [B, H, W, C]; rois [B, R, 4].
     """
@@ -567,22 +570,30 @@ def pallas_roi_align_trainable(features, rois, output_size, sampling_ratio,
     )
 
 
-def _trainable_fwd(features, rois, output_size, sampling_ratio, out_dtype):
+def _trainable_fwd(features, rois, output_size, sampling_ratio, out_dtype,
+                   adjoint):
     out = pallas_roi_align_trainable(features, rois, output_size,
-                                     sampling_ratio, out_dtype)
+                                     sampling_ratio, out_dtype, adjoint)
     return out, (features, rois)
 
 
-def _trainable_bwd(output_size, sampling_ratio, out_dtype, res, g):
-    from .roi_align import multilevel_roi_align_adjoint
-
+def _trainable_bwd(output_size, sampling_ratio, out_dtype, adjoint, res, g):
     features, rois = res
     level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
-    adj = jax.vmap(
-        lambda gi, ri: multilevel_roi_align_adjoint(
-            gi, level_shapes, ri, output_size, sampling_ratio
-        )
-    )(g, rois)
+    if adjoint == "pallas":
+        from .pallas_roi_adjoint import multilevel_roi_align_adjoint_pallas
+
+        adj = multilevel_roi_align_adjoint_pallas(
+            g.astype(jnp.float32), rois, level_shapes, output_size,
+            sampling_ratio)
+    else:
+        from .roi_align import multilevel_roi_align_adjoint
+
+        adj = jax.vmap(
+            lambda gi, ri: multilevel_roi_align_adjoint(
+                gi, level_shapes, ri, output_size, sampling_ratio
+            )
+        )(g, rois)
     gfeats = tuple(a.astype(f.dtype) for a, f in zip(adj, features))
     return gfeats, jnp.zeros_like(rois)
 

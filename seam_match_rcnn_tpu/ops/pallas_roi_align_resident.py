@@ -600,18 +600,24 @@ def pallas_roi_align_resident(
     return out, order
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def pallas_roi_align_resident_trainable(
     features, rois, output_size, sampling_ratio=2, roi_chunk=2048,
-    out_dtype=jnp.float32,
+    out_dtype=jnp.float32, adjoint="xla",
 ):
     """Differentiable tile-resident RoIAlign (VERDICT r2 #7): the resident
-    kernel forward + the EXACT adjoint of the XLA gather implementation as
-    backward, mirroring ``pallas_roi_align.pallas_roi_align_trainable``.
-    RoIAlign is linear in ``features`` for fixed rois, so the vjp is a fixed
-    transpose independent of the forward's values; gradients match the
-    exact kernel everywhere the two forwards agree.  No grad w.r.t. rois
-    (the reference detaches proposals).
+    kernel forward + an EXACT adjoint as backward, mirroring
+    ``pallas_roi_align.pallas_roi_align_trainable``.  RoIAlign is linear
+    in ``features`` for fixed rois, so the vjp is a fixed transpose
+    independent of the forward's values; gradients match the exact kernel
+    everywhere the two forwards agree.  No grad w.r.t. rois (the
+    reference detaches proposals).
+
+    ``adjoint``: "xla" (scatter-add, ops/roi_align) or "pallas" (the
+    tile-resident adjoint kernel, ops/pallas_roi_adjoint — same bilinear
+    summands accumulated in VMEM tiles instead of HBM scatters; see
+    PERF.md round 5 for the on-chip A/B and
+    RoIHeadsConfig.roi_adjoint_backend for the config knob).
 
     features: TUPLE of per-level [B, H, W, C]; rois [B, R, 4].
     Returns (pooled, order) exactly like ``pallas_roi_align_resident`` —
@@ -624,16 +630,15 @@ def pallas_roi_align_resident_trainable(
 
 
 def _res_trainable_fwd(features, rois, output_size, sampling_ratio,
-                       roi_chunk, out_dtype):
+                       roi_chunk, out_dtype, adjoint):
     out = pallas_roi_align_resident_trainable(
-        features, rois, output_size, sampling_ratio, roi_chunk, out_dtype)
+        features, rois, output_size, sampling_ratio, roi_chunk, out_dtype,
+        adjoint)
     return out, (features, rois, out[1])
 
 
 def _res_trainable_bwd(output_size, sampling_ratio, roi_chunk, out_dtype,
-                       res, g):
-    from .roi_align import multilevel_roi_align_adjoint
-
+                       adjoint, res, g):
     features, rois, order = res
     g_pooled = g[0]  # cotangent for `order` is zero (int output)
     b, r = rois.shape[:2]
@@ -643,11 +648,19 @@ def _res_trainable_bwd(output_size, sampling_ratio, roi_chunk, out_dtype,
     g_orig = jnp.zeros_like(g_pooled).at[order].set(g_pooled)
     g_orig = g_orig.reshape((b, r) + g_pooled.shape[1:]).astype(jnp.float32)
     level_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
-    adj = jax.vmap(
-        lambda gi, ri: multilevel_roi_align_adjoint(
-            gi, level_shapes, ri, output_size, sampling_ratio
-        )
-    )(g_orig, rois)
+    if adjoint == "pallas":
+        from .pallas_roi_adjoint import multilevel_roi_align_adjoint_pallas
+
+        adj = multilevel_roi_align_adjoint_pallas(
+            g_orig, rois, level_shapes, output_size, sampling_ratio)
+    else:
+        from .roi_align import multilevel_roi_align_adjoint
+
+        adj = jax.vmap(
+            lambda gi, ri: multilevel_roi_align_adjoint(
+                gi, level_shapes, ri, output_size, sampling_ratio
+            )
+        )(g_orig, rois)
     gfeats = tuple(a.astype(f.dtype) for a, f in zip(adj, features))
     return gfeats, jnp.zeros_like(rois)
 

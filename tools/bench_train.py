@@ -30,6 +30,10 @@ def main():
                     "adjoint, ~9x fewer forward HBM bytes)")
     ap.add_argument("--accum", action="store_true",
                     help="alias for --mode accum (back-compat)")
+    ap.add_argument("--adjoint", default="xla", choices=["xla", "pallas"],
+                    help="RoIAlign backward: xla scatter-add adjoint or "
+                    "the tile-resident Pallas adjoint kernel "
+                    "(ops/pallas_roi_adjoint.py)")
     ap.add_argument("--mask", action="store_true",
                     help="use the PRODUCTION optimizer masking "
                     "(train/optim.backbone_frozen_mask: stem+layer1+FrozenBN "
@@ -78,7 +82,8 @@ def main():
     cfg = ModelConfig(remat_backbone=args.remat,
                       freeze_backbone_stages=args.freeze,
                       roi_heads=RoIHeadsConfig(
-                          roi_align_backend=args.roi_backend))
+                          roi_align_backend=args.roi_backend,
+                          roi_adjoint_backend=args.adjoint))
     model, variables = init_model(cfg, video=False, canvas=(256, 320))
     tx = sgd(multistep_warmup_schedule(0.02, (6, 9), 0.1, 1000, 1000, 1e-3),
              momentum=0.9,
@@ -183,6 +188,7 @@ def main():
         "remat": args.remat,
         "mask": args.mask,
         "freeze": args.freeze,
+        "adjoint": args.adjoint,
     }))
 
 

@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--roi-backend", default="pallas_resident",
                     choices=["xla", "pallas", "pallas_resident"])
+    ap.add_argument("--adjoint", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no-mask", action="store_true",
                     help="unmasked optimizer (historical bench tx); default "
@@ -82,7 +83,8 @@ def main():
     cfg = ModelConfig(remat_backbone=args.remat,
                       freeze_backbone_stages=args.freeze,
                       roi_heads=RoIHeadsConfig(
-                          roi_align_backend=args.roi_backend))
+                          roi_align_backend=args.roi_backend,
+                          roi_adjoint_backend=args.adjoint))
     model, variables = init_model(cfg, video=False, canvas=(256, 320))
     tx = sgd(multistep_warmup_schedule(0.02, (6, 9), 0.1, 1000, 1000, 1e-3),
              momentum=0.9,
@@ -214,6 +216,7 @@ def main():
         "geometry": [b, h, w],
         "iters": args.iters,
         "roi_backend": args.roi_backend,
+        "adjoint": args.adjoint,
         "mask": not args.no_mask,
         "freeze": args.freeze,
         "remat": args.remat,

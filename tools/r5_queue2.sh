@@ -16,6 +16,15 @@ run() {
     echo "[$name rc=$rc — see /tmp/r5q2_${name}.log]" >> "$SUMMARY"
 }
 
+# Quick attribution + contract jobs first (minutes each):
+# - adjoint microbench: is the ~111 ms of roi-branch backward really the
+#   scatter-add? (decides the resident-adjoint kernel lever)
+# - fused-stem Mosaic probes (round-5 constructions) + XLA stem reference
+# - bench.py train profile (new one-line-JSON training metric)
+run adjoint       python tools/bench_adjoint.py
+run stem_probe    python tools/exp_stem_im2col.py
+run bench_train_profile env SEAM_BENCH_PROFILE=train python bench.py
+
 # 64-product confusable fixture: CONTROL (pallas vs pallas_resident, both
 # bf16) sets the noise floor; int8 + fast-profile + trunk-dtype re-decided
 # against it with per-flip margins.
