@@ -103,7 +103,8 @@ def _band_interp_matrix(start, bin_size, size, band0, out_size, ratio,
 
 def _adj_kernel(tile_ref, roi_ref, tlvl_ref, tdr_ref, tdc_ref, tr0_ref,
                 tc0_ref, geom_ref, g_ref, o2, o3, o4, o5, acc, gbuf,
-                gsem, wsem, *, output_size, sampling_ratio, c, n_tiles):
+                gsem, wsem, *, output_size, sampling_ratio, c, n_tiles,
+                highest, emulate_bf16):
     i = pl.program_id(0)
     o = output_size
     outs = (o2, o3, o4, o5)
@@ -179,16 +180,36 @@ def _adj_kernel(tile_ref, roi_ref, tlvl_ref, tdr_ref, tdc_ref, tr0_ref,
             g3 = gbuf[k].reshape(o_pad, o, c)
             wy = jnp.concatenate(
                 [wy, jnp.zeros((o_pad - o, OWN), jnp.float32)], axis=0)
+            # Precision mirrors the FORWARD kernel's rule (an adjoint has
+            # no business being more precise than the forward it pairs
+            # with): f32 features -> HIGHEST (6-pass f32, bit-matching
+            # summands vs the exact adjoint); bf16 features -> single
+            # bf16 MXU passes with f32 accumulation.  Measured: HIGHEST
+            # costs ~3x on the dominant [64, OWN*C] matmul (PERF.md r5).
+            if highest:
+                prec = jax.lax.Precision.HIGHEST
+                u_cast = lambda x: x
+            elif emulate_bf16:
+                # interpret mode (CPU) cannot execute bf16xbf16 dots —
+                # model the same rounding with f32 round-trips
+                prec = None
+                rt = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+                wy, wx, g3 = rt(wy), rt(wx), rt(g3)
+                u_cast = rt
+            else:
+                prec = None
+                wy = wy.astype(jnp.bfloat16)
+                wx = wx.astype(jnp.bfloat16)
+                u_cast = lambda x: x.astype(jnp.bfloat16)
             # u[x_cell, oy_pad, c] = sum_ox wx[ox, x_cell] * g[oy, ox, c]
             u = jax.lax.dot_general(
                 wx, g3, dimension_numbers=(((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=jnp.float32, precision=prec)
             # win[y_cell, x_cell, c] = sum_oy wy[oy, y_cell] * u[x, oy, c]
             win = jax.lax.dot_general(
-                wy, u, dimension_numbers=(((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                wy, u_cast(u),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
             acc[...] = acc[...] + win.reshape(OWN, OWN * c)
 
     # final flush: the instance stream always ends with >=MINI sentinel
@@ -229,7 +250,7 @@ def _tile_tables(level_shapes, b):
     jax.jit,
     static_argnames=("level_shapes", "output_size", "sampling_ratio",
                      "spatial_scales", "canonical_scale", "canonical_level",
-                     "interpret"))
+                     "interpret", "highest"))
 def multilevel_roi_align_adjoint_pallas(
     g: jnp.ndarray,
     rois: jnp.ndarray,
@@ -240,6 +261,7 @@ def multilevel_roi_align_adjoint_pallas(
     canonical_scale: float = 224.0,
     canonical_level: int = 4,
     interpret: bool | str = "auto",
+    highest: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     """Batched resident-tile adjoint: g [B, R, o, o, C] f32 cotangents,
     rois [B, R, 4] -> per-level [B, H, W, C] f32 feature gradients.
@@ -270,7 +292,12 @@ def multilevel_roi_align_adjoint_pallas(
     o_pad = o
     while (o_pad * o) % 8:
         o_pad += 1
-    g2 = g.reshape(n, o * o, cc).astype(jnp.float32)
+    # bf16 cotangent buffer in the fast-precision mode: halves the
+    # per-instance DMA bytes AND feeds the MXU its native input width
+    # (interpret mode keeps f32 buffers and emulates the rounding — the
+    # CPU dot thunk cannot execute bf16 x bf16 = f32)
+    gdt = jnp.float32 if (highest or interpret) else jnp.bfloat16
+    g2 = g.reshape(n, o * o, cc).astype(gdt)
     if o_pad > o:
         g2 = jnp.pad(g2, ((0, 0), (0, (o_pad - o) * o), (0, 0)))
 
@@ -346,7 +373,7 @@ def multilevel_roi_align_adjoint_pallas(
     ]
     kernel = functools.partial(
         _adj_kernel, output_size=o, sampling_ratio=sampling_ratio, c=cc,
-        n_tiles=n_tiles)
+        n_tiles=n_tiles, highest=highest, emulate_bf16=bool(interpret))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(ni_pad // MINI,),
@@ -358,7 +385,7 @@ def multilevel_roi_align_adjoint_pallas(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         scratch_shapes=[
             pltpu.VMEM((OWN, OWN * cc), jnp.float32),
-            pltpu.VMEM((MINI, o_pad * o, cc), jnp.float32),
+            pltpu.VMEM((MINI, o_pad * o, cc), gdt),
             pltpu.SemaphoreType.DMA((MINI,)),
             pltpu.SemaphoreType.DMA,
         ],

@@ -583,9 +583,12 @@ def _trainable_bwd(output_size, sampling_ratio, out_dtype, adjoint, res, g):
     if adjoint == "pallas":
         from .pallas_roi_adjoint import multilevel_roi_align_adjoint_pallas
 
+        # precision follows the forward's own rule (see the resident
+        # wrapper): full for f32 features, single bf16 passes for bf16
         adj = multilevel_roi_align_adjoint_pallas(
             g.astype(jnp.float32), rois, level_shapes, output_size,
-            sampling_ratio)
+            sampling_ratio,
+            highest=jnp.dtype(features[0].dtype) == jnp.float32)
     else:
         from .roi_align import multilevel_roi_align_adjoint
 

@@ -651,8 +651,11 @@ def _res_trainable_bwd(output_size, sampling_ratio, roi_chunk, out_dtype,
     if adjoint == "pallas":
         from .pallas_roi_adjoint import multilevel_roi_align_adjoint_pallas
 
+        # precision follows the forward's own rule: full (bit-matching
+        # summands) for f32 features, single bf16 MXU passes for bf16
         adj = multilevel_roi_align_adjoint_pallas(
-            g_orig, rois, level_shapes, output_size, sampling_ratio)
+            g_orig, rois, level_shapes, output_size, sampling_ratio,
+            highest=jnp.dtype(features[0].dtype) == jnp.float32)
     else:
         from .roi_align import multilevel_roi_align_adjoint
 

@@ -139,6 +139,29 @@ def test_batched_images_are_independent():
             np.asarray(both[lv][1]), np.asarray(solo2[lv][0]), atol=1e-5)
 
 
+def test_fast_precision_bounded_drift():
+    """highest=False (the production rule for bf16 features): bf16 MXU
+    passes with f32 accumulation must stay within bf16 rounding of the
+    exact adjoint — bounded, not bit-matching."""
+    rng = np.random.RandomState(9)
+    b, n, out = 1, 16, 7
+    rois = mix_rois(rng, b, n)
+    g = rng.randn(b, n, out, out, C).astype(np.float32)
+    got = multilevel_roi_align_adjoint_pallas(
+        jnp.asarray(g), jnp.asarray(rois), SHAPES, out, interpret=True,
+        highest=False)
+    want = exact_ref(jnp.asarray(g), jnp.asarray(rois), out)
+    for lv, (a, bb) in enumerate(zip(got, want)):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = max(1.0, np.abs(bb).max())
+        # bf16 relative rounding ~ 2^-8 per summand; overlaps accumulate
+        np.testing.assert_allclose(a, bb, atol=0.04 * scale,
+                                   err_msg=f"level {lv}")
+        # and it is NOT garbage: strong agreement in an L2 sense
+        denom = float(np.linalg.norm(bb)) or 1.0
+        assert float(np.linalg.norm(a - bb)) / denom < 0.02
+
+
 def test_trainable_wrapper_grads_match_across_adjoints():
     """The custom_vjp wrappers produce (near-)identical feature gradients
     with adjoint='pallas' vs adjoint='xla' — the wiring contract of

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"],
                     help="xla = exact scatter adjoint; pallas = the "
                     "resident-tile kernel (ops/pallas_roi_adjoint.py)")
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "fast"],
+                    help="pallas kernel matmul precision: highest = 6-pass "
+                    "f32 (bit-matching summands); fast = single bf16 MXU "
+                    "passes + f32 accumulation (the production rule for "
+                    "bf16 features — mirrors the forward kernel)")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +81,8 @@ def main():
             def loop(gs, rois):
                 def body(acc, g):
                     outs = multilevel_roi_align_adjoint_pallas(
-                        g, rois, shapes, out)
+                        g, rois, shapes, out,
+                        highest=args.precision == "highest")
                     return acc + sum(jnp.sum(o) for o in outs), ()
                 tot, _ = jax.lax.scan(body, jnp.float32(0), gs)
                 return tot
@@ -103,7 +110,7 @@ def main():
 
     print("ADJOINT_JSON " + json.dumps(
         {"metric": "roi_align_adjoint_ms", "batch": args.batch,
-         "backend": args.backend, **results}))
+         "backend": args.backend, "precision": args.precision, **results}))
 
 
 if __name__ == "__main__":
