@@ -44,10 +44,101 @@ ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas_resident")
 # Match/aggregator conv-trunk compute dtype (serving-tail lever, PERF.md
 # round 4).  Default f32 = reference numerics; bfloat16 for the A/B.
 TRUNK_DTYPE = os.environ.get("SEAM_BENCH_TRUNK_DTYPE", "float32")
-# "parity" (reference 4000 post-NMS proposals — the headline config) or
+# "parity" (reference 4000 post-NMS proposals — the headline config),
 # "fast" (torchvision-default 1000 proposals; accuracy-gated profile,
-# PERF.md lever 1 — measured here so its advertised fps stays current).
+# PERF.md lever 1 — measured here so its advertised fps stays current),
+# or "train" (phase-1 supervised step img/s at the PRODUCTION training
+# configuration — same one-line-JSON contract, so training-path
+# regressions surface round-over-round; VERDICT r4 weak #6).
 PROFILE = os.environ.get("SEAM_BENCH_PROFILE", "parity")
+
+
+def train_profile():
+    """Phase-1 fused train-step throughput (production config: resident
+    RoIAlign, frozen-mask optimizer, stop-gradient stem) — the compact
+    twin of tools/bench_train.py, emitting bench.py's one-JSON-line
+    contract.  Geometry 800x1344 batch 4, scan-fenced."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seam_match_rcnn_tpu.config import ModelConfig, RoIHeadsConfig
+    from seam_match_rcnn_tpu.models.matchrcnn import init_model
+    from seam_match_rcnn_tpu.train.optim import (backbone_frozen_mask,
+                                                 multistep_warmup_schedule,
+                                                 sgd)
+    from seam_match_rcnn_tpu.train.steps import (create_train_state,
+                                                 make_phase1_step)
+
+    cfg = ModelConfig(freeze_backbone_stages=True,
+                      roi_heads=RoIHeadsConfig(
+                          roi_align_backend="pallas_resident"))
+    model, variables = init_model(cfg, video=False, canvas=(256, 320))
+    tx = sgd(multistep_warmup_schedule(0.02, (6, 9), 0.1, 1000, 1000, 1e-3),
+             momentum=0.9, trainable_mask=backbone_frozen_mask)
+    state = create_train_state(variables, tx)
+    step = make_phase1_step(model, tx)
+
+    b, h, w, g, iters = 4, 800, 1344, 8, 4
+    rng = np.random.RandomState(0)
+    x1 = rng.uniform(0, w - 200, (b, g))
+    y1 = rng.uniform(0, h - 200, (b, g))
+    batch = {
+        "images": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        "sizes": jnp.asarray([[h, 1333]] * b, jnp.int32),
+        "gt": {
+            "boxes": jnp.asarray(np.stack(
+                [x1, y1, x1 + rng.uniform(40, 200, (b, g)),
+                 y1 + rng.uniform(40, 200, (b, g))], -1).astype(np.float32)),
+            "labels": jnp.asarray(rng.randint(1, 14, (b, g))),
+            "valid": jnp.ones((b, g), bool),
+            "pair_ids": jnp.asarray(rng.randint(1, 5, (b, g))),
+            "styles": jnp.ones((b, g), jnp.int32),
+            "source": jnp.asarray([i % 2 for i in range(b)], jnp.int32),
+            "mask_crops": jnp.asarray(
+                (rng.rand(b, g, 56, 56) > 0.4).astype(np.uint8)),
+        },
+    }
+
+    def loop(state, batch, seeds):
+        def body(st, seed):
+            st2, losses = step(st, batch, jax.random.PRNGKey(seed))
+            return st2, losses["loss"]
+        st, losses = jax.lax.scan(body, state, seeds)
+        return st, jnp.sum(losses)
+
+    seeds = jnp.arange(iters)
+    compiled = jax.jit(loop).lower(state, batch, seeds).compile()
+    _, tot = compiled(state, batch, seeds)
+    float(tot)
+    t0 = _t.perf_counter()
+    _, tot = compiled(state, batch, seeds)
+    float(tot)
+    dt = _t.perf_counter() - t0
+    assert np.isfinite(float(tot))
+    out = {
+        "metric": "phase1_train_step_throughput",
+        "value": round(b * iters / dt, 3),
+        "unit": "images/sec/chip",
+        "step_ms": round(dt / iters * 1000, 1),
+        "profile": "train",
+        "config": "pallas_resident + frozen mask + stop-grad stem",
+    }
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops > 0:
+            out["tflops"] = round(flops / dt / 1e12, 2)
+        if byts > 0:
+            out["hbm_gbps"] = round(byts / dt / 1e9, 2)
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 def main():
@@ -60,6 +151,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+    if PROFILE == "train":
+        return train_profile()
 
     from seam_match_rcnn_tpu.config import (MatchHeadConfig, ModelConfig,
                                             RoIHeadsConfig)

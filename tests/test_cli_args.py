@@ -60,6 +60,17 @@ def test_phase1_train_roi_backend_default():
     assert a.exact_roi_align is False
 
 
+def test_roi_adjoint_backend_default():
+    """The RoIAlign BACKWARD defaults to the tile-resident adjoint kernel
+    — settled by the round-5 on-chip A/B (full production step 168 vs
+    249 ms, PERF.md round 5); 'xla' remains the scatter-add escape
+    hatch.  Precision follows the forward's rule (f32 -> bit-matching
+    summands; bf16 -> single bf16 MXU passes)."""
+    from seam_match_rcnn_tpu.config import RoIHeadsConfig
+
+    assert RoIHeadsConfig().roi_adjoint_backend == "pallas"
+
+
 def test_noise_flag_parses_false():
     """type=bool in the reference makes '--noise False' parse as True
     (train_movingfashion.py:171) — documented bug, not copied: our CLIs
