@@ -44,6 +44,9 @@ ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas_resident")
 # Match/aggregator conv-trunk compute dtype (serving-tail lever, PERF.md
 # round 4).  Default f32 = reference numerics; bfloat16 for the A/B.
 TRUNK_DTYPE = os.environ.get("SEAM_BENCH_TRUNK_DTYPE", "float32")
+# Backbone stem: "xla" or "pallas" (ops/pallas_stem fused
+# conv1+bn+relu+maxpool — round-5 lever A/B, PERF.md).
+STEM = os.environ.get("SEAM_BENCH_STEM", "xla")
 # "parity" (reference 4000 post-NMS proposals — the headline config),
 # "fast" (torchvision-default 1000 proposals; accuracy-gated profile,
 # PERF.md lever 1 — measured here so its advertised fps stays current),
@@ -163,6 +166,7 @@ def main():
         kw = dict(
             roi_heads=RoIHeadsConfig(roi_align_backend=backend),
             match=MatchHeadConfig(trunk_dtype=TRUNK_DTYPE),
+            stem_backend=STEM,
         )
         if PROFILE == "fast":
             # one source of truth for the fast profile: the advertised fps
@@ -273,6 +277,8 @@ def main():
         pass  # cost_analysis availability varies by backend/plugin
     if TRUNK_DTYPE != "float32":
         out["trunk_dtype"] = TRUNK_DTYPE
+    if STEM != "xla":
+        out["stem"] = STEM
     if PROFILE != "parity":
         out["profile"] = PROFILE
     if fallback:

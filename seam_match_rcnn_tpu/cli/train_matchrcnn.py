@@ -120,6 +120,10 @@ def main(argv=None):
         # flow so every step variant skips the dead stem/layer1 backward
         # (config.ModelConfig.freeze_backbone_stages; exact)
         cfg = dataclasses.replace(cfg, freeze_backbone_stages=True)
+    else:
+        # the fused Pallas stem has no vjp: an unfrozen stem must train
+        # through the XLA ops (loud trace error otherwise)
+        cfg = dataclasses.replace(cfg, stem_backend="xla")
     if args.synthetic:
         import tempfile
 

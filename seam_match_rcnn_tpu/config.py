@@ -158,6 +158,16 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Rematerialize backbone blocks in the backward pass (memory for FLOPs).
     remat_backbone: bool = False
+    # Backbone stem implementation: "xla" (conv1 + FrozenBN + relu +
+    # maxpool as separate ops — the 378 MB stride-2 conv activation
+    # round-trips HBM) or "pallas" (ops/pallas_stem.fused_stem: the whole
+    # stem tail in one kernel, activation stays in VMEM; measured
+    # 9.1 vs 16.5 ms/batch-11 at the probe level, PERF.md round 5).  The
+    # fused kernel has no vjp — valid wherever no gradient reaches the
+    # stem: inference, and training with freeze_backbone_stages (whose
+    # stop_gradient sits above the stem).  Same parameter tree either
+    # way; checkpoints interchange freely.
+    stem_backend: str = "xla"
     # Stop gradients at the layer1/layer2 boundary of the backbone.  The
     # reference's torchvision backbone freezes conv1+bn1+layer1
     # (trainable_layers=3, /root/reference/models/matchrcnn.py:486) — the

@@ -82,7 +82,8 @@ class MatchRCNN(nn.Module):
         dt = jnp.dtype(self.cfg.compute_dtype)
         self.backbone = BackboneWithFPN(
             dtype=dt, remat=self.cfg.remat_backbone,
-            freeze_stages=self.cfg.freeze_backbone_stages, name="backbone"
+            freeze_stages=self.cfg.freeze_backbone_stages,
+            stem_backend=self.cfg.stem_backend, name="backbone"
         )
         self.rpn_head = RPNHead(
             self.cfg.anchors.num_anchors_per_location, dtype=dt, name="rpn_head"

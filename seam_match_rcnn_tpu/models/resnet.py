@@ -61,17 +61,46 @@ class Bottleneck(nn.Module):
         return nn.relu(out + x)
 
 
+class _StemConvParams(nn.Module):
+    """Parameter shell matching ``nn.Conv(name="conv1")``'s tree
+    (params['conv1']['kernel'], lecun-normal init) so the fused Pallas
+    stem shares checkpoints with the XLA stem bit-for-bit."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
+class _StemBNParams(nn.Module):
+    """Parameter shell matching ``FrozenBN(name="bn1")``'s tree."""
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (64,)),
+                self.param("shift", nn.initializers.zeros, (64,)))
+
+
 class ResNet50(nn.Module):
     """Returns the C2..C5 feature maps (strides 4/8/16/32).
 
     ``remat=True`` rematerializes each bottleneck in the backward pass
     (jax.checkpoint) — trades ~30% backbone FLOPs for not storing block
     activations, the standard memory lever for large-canvas training.
+
+    ``stem_backend``: "xla" (conv + FrozenBN + relu + maxpool as separate
+    XLA ops) or "pallas" (ops/pallas_stem.fused_stem — the conv
+    activation never round-trips HBM; same param tree, so checkpoints
+    interchange freely).  The fused kernel has no vjp: use it only where
+    no gradient reaches the stem (inference, or training with
+    config.freeze_backbone_stages — the production default, whose
+    stop_gradient sits ABOVE the stem).
     """
 
     dtype: Any = jnp.float32
     block_counts: Sequence[int] = (3, 4, 6, 3)
     remat: bool = False
+    stem_backend: str = "xla"
     # stop_gradient at the layer1/layer2 boundary: the reference freezes
     # stem+layer1 (torchvision trainable_layers=3); with their updates
     # masked anyway (train/optim.backbone_frozen_mask), cutting the grad
@@ -81,12 +110,21 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
-        x = nn.relu(FrozenBN(64, self.dtype, name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.stem_backend == "pallas":
+            from ..ops.pallas_stem import fused_stem
+
+            w = _StemConvParams(name="conv1")()
+            scale, shift = _StemBNParams(name="bn1")()
+            x = fused_stem(x.astype(jnp.float32), w, scale, shift)
+            x = x.astype(self.dtype)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
+            x = nn.relu(FrozenBN(64, self.dtype, name="bn1")(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
 
         block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         outs = []
@@ -144,10 +182,12 @@ class BackboneWithFPN(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     freeze_stages: bool = False
+    stem_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         c2, c3, c4, c5 = ResNet50(dtype=self.dtype, remat=self.remat,
                                   freeze_stages=self.freeze_stages,
+                                  stem_backend=self.stem_backend,
                                   name="body")(x)
         return FPN(dtype=self.dtype, name="fpn")([c2, c3, c4, c5])
