@@ -44,9 +44,10 @@ ROI_BACKEND = os.environ.get("SEAM_BENCH_ROI_BACKEND", "pallas_resident")
 # Match/aggregator conv-trunk compute dtype (serving-tail lever, PERF.md
 # round 4).  Default f32 = reference numerics; bfloat16 for the A/B.
 TRUNK_DTYPE = os.environ.get("SEAM_BENCH_TRUNK_DTYPE", "float32")
-# Backbone stem: "xla" or "pallas" (ops/pallas_stem fused
-# conv1+bn+relu+maxpool — round-5 lever A/B, PERF.md).
-STEM = os.environ.get("SEAM_BENCH_STEM", "xla")
+# Backbone stem: "pallas" (ops/pallas_stem fused conv1+bn+relu+maxpool,
+# the serving default) or "xla" for the A/B — same-session 80.10 vs
+# 79.52 fps once the kernel stores NHWC directly (PERF.md round 5).
+STEM = os.environ.get("SEAM_BENCH_STEM", "pallas")
 # "parity" (reference 4000 post-NMS proposals — the headline config),
 # "fast" (torchvision-default 1000 proposals; accuracy-gated profile,
 # PERF.md lever 1 — measured here so its advertised fps stays current),

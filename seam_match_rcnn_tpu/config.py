@@ -197,6 +197,11 @@ def serving_model_config(**overrides) -> "ModelConfig":
     kw = dict(
         roi_heads=RoIHeadsConfig(roi_align_backend="pallas_resident"),
         match=MatchHeadConfig(nlb_backend="pallas"),
+        # Fused conv1+BN+relu+maxpool stem: same-session serving A/B
+        # 80.10 vs 79.52 fps once the kernel stores NHWC directly
+        # (PERF.md round 5; compiled parity tests/test_pallas_stem.py).
+        # Inference-only kernel — fine here; ModelConfig() keeps "xla".
+        stem_backend="pallas",
     )
     kw.update(overrides)
     return ModelConfig(**kw)

@@ -21,8 +21,10 @@ pool_fused_stem 9.06 ms/batch-11 vs XLA conv1+pool 16.49):
     Zero padding is exact here: relu outputs are >= 0, so max with a
     0-pad equals torchvision's -inf-pad window.
 
-Output layout is [rows, 64, W'] (channel-major rows); the wrapper
-transposes to NHWC in XLA (~2.4 ms/batch-11, included in every number).
+The pool-select matmul contracts one-hot-first so each strip stores
+[outw, 64] — the kernel's output IS NHWC; no XLA transpose follows (the
+first integration's end-to-end wash, 79.5 vs 79.7 fps, traced to that
+~380 MB/batch transpose round-trip eating the kernel's 7 ms win).
 
 Replaces the stem of the reference's torchvision resnet50 backbone
 (/root/reference/models/matchrcnn.py:486 resnet_fpn_backbone: conv1 +
@@ -75,8 +77,9 @@ def rearrange_stem_weights(conv_w, bn_scale, bn_shift):
 def _stem_kernel(x_ref, w_ref, s2_ref, b_ref, out_ref, *, lanes, w2_cols):
     """One strip: x_ref [1, 1, 12, S2DR, lanes] (s2d channel-major, both
     axes pre-padded by 2), w_ref [4, 48, 64], s2_ref [lanes, outw]
-    one-hot even-lane select, b_ref [1, 64] -> out_ref [1, STRIP, 64,
-    outw].  ``w2_cols`` = valid conv columns (lanes beyond it masked)."""
+    one-hot even-lane select, b_ref [1, 64] -> out_ref [1, STRIP, outw,
+    64] (NHWC minor dims).  ``w2_cols`` = valid conv columns (lanes
+    beyond it masked)."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     mask = (cols < w2_cols).astype(jnp.float32)
     # a strip's conv row 0 is ABSOLUTE row (strip * 16) - 1: for the first
@@ -106,9 +109,13 @@ def _stem_kernel(x_ref, w_ref, s2_ref, b_ref, out_ref, *, lanes, w2_cols):
         # land on masked-zero lanes, and relu outputs >= 0 absorb them
         m = jnp.maximum(jnp.maximum(m, pltpu.roll(m, 1, 1)),
                         pltpu.roll(m, lanes - 1, 1))
+        # contract the one-hot select the other way round so the store is
+        # already [outw, 64] = NHWC minor dims — no XLA transpose after
+        # the kernel (the first integration's 79.5-vs-79.7 wash traced to
+        # exactly that ~380 MB/batch HBM round-trip)
         out_ref[0, p] = jax.lax.dot_general(
-            m.astype(jnp.bfloat16), s2_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            s2_ref[:], m.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
@@ -122,8 +129,10 @@ def fused_stem(x, conv_w, bn_scale, bn_shift, interpret="auto"):
     b, h, w, _ = x.shape
     h2, w2 = h // 2, w // 2
     outh, outw = h // 4, w // 4
-    # space-to-depth, channel-major: [B, 12, H/2, W/2]
-    s2d = x.reshape(b, h2, 2, w2, 2, 3)
+    # space-to-depth, channel-major: [B, 12, H/2, W/2].  Cast bf16 BEFORE
+    # the shuffle — identical values (the kernel consumes bf16 either
+    # way), half the transpose write traffic.
+    s2d = x.astype(jnp.bfloat16).reshape(b, h2, 2, w2, 2, 3)
     s2d = jnp.transpose(s2d, (0, 2, 4, 5, 1, 3)).reshape(b, 12, h2, w2)
     # pad: 3 leading rows (2 for the conv window + 1 so each strip's
     # first conv row is the pool's top-edge row at absolute index -1),
@@ -132,8 +141,7 @@ def fused_stem(x, conv_w, bn_scale, bn_shift, interpret="auto"):
     n_strips = -(-outh // STRIP)
     rows_need = (n_strips - 1) * (2 * STRIP) + S2DR
     s2d = jnp.pad(
-        s2d, ((0, 0), (0, 0), (3, rows_need - h2 - 3), (2, lanes - w2 - 2)),
-    ).astype(jnp.bfloat16)
+        s2d, ((0, 0), (0, 0), (3, rows_need - h2 - 3), (2, lanes - w2 - 2)))
     # strips overlap by S2DR - 2*STRIP rows; BlockSpec blocks cannot
     # overlap, so materialize the per-strip views (25 static slices at
     # serving geometry, ~1.25x input bytes — ~1 ms)
@@ -160,13 +168,13 @@ def fused_stem(x, conv_w, bn_scale, bn_shift, interpret="auto"):
             pl.BlockSpec((1, 64), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, STRIP, 64, outw),
+        out_specs=pl.BlockSpec((1, STRIP, outw, 64),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (b, n_strips * STRIP, 64, outw), jnp.float32),
+            (b, n_strips * STRIP, outw, 64), jnp.float32),
         interpret=interpret,
     )(strips, w2m.astype(jnp.bfloat16), s2sel,
       bias.reshape(1, 64))
-    # [B, H', 64, W'] -> NHWC
-    return jnp.transpose(out[:, :outh], (0, 1, 3, 2))
+    # already NHWC: rows beyond outh are the only excess
+    return out[:, :outh]

@@ -99,3 +99,13 @@ def test_compiled_matches_xla_on_tpu():
                                jnp.asarray(scale), jnp.asarray(shift)))
     s = max(1.0, np.abs(want).max())
     np.testing.assert_allclose(got, want, atol=0.02 * s)
+
+
+def test_serving_default_is_fused_stem():
+    """Serving profile uses the fused stem (same-session A/B 80.10 vs
+    79.52 fps, PERF.md round 5); the base/training config keeps the
+    differentiable XLA stem."""
+    from seam_match_rcnn_tpu.config import ModelConfig, serving_model_config
+
+    assert serving_model_config().stem_backend == "pallas"
+    assert ModelConfig().stem_backend == "xla"
